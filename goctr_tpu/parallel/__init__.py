@@ -1,0 +1,5 @@
+from goctr_tpu.parallel.embedding import (
+    EmbeddingSpec, init_table, sharded_lookup, sharded_pooled_lookup,
+)
+from goctr_tpu.parallel.sparse_ctr import SparseCTR, SparseBatch
+from goctr_tpu.parallel.train import make_sharded_train_step

@@ -1,0 +1,115 @@
+"""Row-sharded embedding tables over the `model` mesh axis.
+
+The reference has no parallelism at all (SURVEY.md P4/P5: its embedding "table"
+is a Go map on one host, rcmd.go:501-531). The TPU-native design is
+DLRM/Megatron-style: tables live row-sharded across the `model` axis so a
+100M-row table (BASELINE config #5) fits a pod slice; dense towers are pure DP
+over `data`.
+
+Lookup exchange: every `model` shard holds rows [V/m, D]. Inside shard_map the
+ids (batch-sharded over `data`, replicated over `model`) index the local shard
+masked to its row range, then a `psum` over `model` combines the one non-zero
+contribution per id. The psum moves exactly one [B/d, D] buffer per device
+over ICI — the same volume as an all-to-all of gathered rows, with none of the
+index bookkeeping. Gradients flow through the same path in reverse (psum
+transposes to identity; the masked gather transposes to a local scatter-add),
+so each shard's rows get exactly its own gradient rows — a Hogwild-free
+equivalent of the reference's lock-free updates (word2vec.go:168).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from goctr_tpu.core.meshes import DATA_AXIS, MODEL_AXIS
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbeddingSpec:
+    name: str
+    vocab: int
+    dim: int
+
+    def padded_vocab(self, n_shards: int) -> int:
+        return -(-self.vocab // n_shards) * n_shards
+
+
+def init_table(key: jax.Array, spec: EmbeddingSpec, mesh: Mesh,
+               scale: float = 0.01) -> jax.Array:
+    """[padded_vocab, dim] float32, rows sharded over the model axis."""
+    n_shards = mesh.shape[MODEL_AXIS]
+    v = spec.padded_vocab(n_shards)
+    sharding = NamedSharding(mesh, P(MODEL_AXIS, None))
+    return jax.device_put(
+        jax.random.normal(key, (v, spec.dim), jnp.float32) * scale, sharding)
+
+
+def _local_gather(local_rows: jax.Array, ids: jax.Array,
+                  n_shards: int) -> jax.Array:
+    """Gather ids from this shard's row range, zeros elsewhere; combine with
+    psum over the model axis. Runs inside shard_map."""
+    per_shard = local_rows.shape[0]
+    shard = jax.lax.axis_index(MODEL_AXIS)
+    local_ids = ids - shard * per_shard
+    valid = (local_ids >= 0) & (local_ids < per_shard)
+    safe = jnp.clip(local_ids, 0, per_shard - 1)
+    emb = jnp.take(local_rows, safe, axis=0)
+    emb = jnp.where(valid[..., None], emb, 0.0)
+    return jax.lax.psum(emb, MODEL_AXIS)
+
+
+def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh) -> jax.Array:
+    """ids [B, ...] int32 → embeddings [B, ..., D], batch-sharded over data.
+
+    Negative ids (padding) return zero vectors.
+    """
+    n_shards = mesh.shape[MODEL_AXIS]
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS)),
+             out_specs=P(DATA_AXIS),
+             check_vma=False)
+    def run(local_rows, local_ids):
+        neg = local_ids < 0
+        out = _local_gather(local_rows, jnp.maximum(local_ids, 0), n_shards)
+        return jnp.where(neg[..., None], 0.0, out)
+
+    return run(table, ids)
+
+
+def sharded_pooled_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
+                          combiner: str = "mean") -> jax.Array:
+    """Fused gather+pool: ids [B, K] (−1 padded) → pooled [B, D].
+
+    Pooling before leaving shard_map means the psum moves [B/d, D] instead of
+    [B/d, K, D] — a K× ICI traffic cut; this is the multi-hot fast path
+    (reference StringSplitMultiHot semantics at embedding scale).
+    """
+    n_shards = mesh.shape[MODEL_AXIS]
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS, None)),
+             out_specs=P(DATA_AXIS, None),
+             check_vma=False)
+    def run(local_rows, local_ids):
+        per_shard = local_rows.shape[0]
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        rel = local_ids - shard * per_shard
+        valid = (local_ids >= 0) & (rel >= 0) & (rel < per_shard)
+        safe = jnp.clip(rel, 0, per_shard - 1)
+        emb = jnp.take(local_rows, safe, axis=0)          # [b, K, D]
+        emb = jnp.where(valid[..., None], emb, 0.0)
+        pooled = jnp.sum(emb, axis=1)                     # local partial sum
+        pooled = jax.lax.psum(pooled, MODEL_AXIS)
+        if combiner == "mean":
+            count = jnp.sum((local_ids >= 0).astype(jnp.float32), axis=1,
+                            keepdims=True)
+            pooled = pooled / jnp.maximum(count, 1.0)
+        return pooled
+
+    return run(table, ids)

@@ -1,0 +1,104 @@
+"""SparseCTR — the scale-out flagship: sharded embedding tables + DIN tower.
+
+This is the model the reference *couldn't* build (its item embeddings are a
+pre-trained in-memory Go map, rcmd.go:501-531, capped by one host's RAM):
+end-to-end-trainable id embeddings living row-sharded across the `model` mesh
+axis, attention-pooled DIN-style against the candidate item, with dense
+profile/ctx features — DLRM-shaped, BASELINE config #5.
+
+Inputs are raw ids + dense blocks (SparseBatch), not pre-assembled float rows:
+the embedding gather happens on device, inside the jitted step.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from goctr_tpu.models.base import dropout as _dropout, init_linear
+from goctr_tpu.ops.activations import ACTIVATIONS, cosine_similarity
+from goctr_tpu.parallel.embedding import (
+    EmbeddingSpec, init_table, sharded_lookup,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SparseBatch:
+    """One device batch of raw features (a pytree: jit/shard-friendly)."""
+    user_profile: jax.Array    # [B, U] float32 dense
+    behavior_ids: jax.Array    # [B, T] int32, -1 padded
+    item_ids: jax.Array        # [B] int32
+    ctx: jax.Array             # [B, C] float32 dense
+    labels: jax.Array          # [B] float32
+
+
+@dataclasses.dataclass
+class SparseCTR:
+    item_vocab: int
+    emb_dim: int = 16          # reference ItemEmbDim rcmd.go:22
+    u_profile_dim: int = 8
+    ctx_dim: int = 4
+    behavior_len: int = 10     # reference UserBehaviorLen rcmd.go:24
+    hidden: tuple[int, ...] = (200, 80)
+    activation: str = "relu"
+    dropout_rate: float = 0.0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def spec(self) -> EmbeddingSpec:
+        return EmbeddingSpec("item", self.item_vocab, self.emb_dim)
+
+    @property
+    def concat_dim(self) -> int:
+        # profile + attention-pooled behaviors + item emb + ctx
+        return self.u_profile_dim + 2 * self.emb_dim + self.ctx_dim
+
+    def init_params(self, key: jax.Array, mesh: Mesh) -> dict:
+        k_table, k_mlp = jax.random.split(key)
+        dims = (self.concat_dim,) + tuple(self.hidden) + (1,)
+        keys = jax.random.split(k_mlp, len(dims) - 1)
+        return {
+            "item_table": init_table(k_table, self.spec, mesh),
+            "att0": jnp.ones((self.behavior_len,), jnp.float32),
+            "mlp": [init_linear(k, (dims[i], dims[i + 1]), "glorot")
+                    for i, k in enumerate(keys)],
+            "bias": [jnp.zeros((d,), jnp.float32) for d in dims[1:]],
+        }
+
+    def apply(self, params: dict, batch: SparseBatch, mesh: Mesh, *,
+              train: bool = False,
+              key: Optional[jax.Array] = None) -> jax.Array:
+        cd = self.compute_dtype
+        # sharded gathers: behaviors [B, T, D], item [B, D]
+        behaviors = sharded_lookup(params["item_table"], batch.behavior_ids,
+                                   mesh).astype(cd)
+        item = sharded_lookup(params["item_table"], batch.item_ids,
+                              mesh).astype(cd)
+
+        # DIN-style gated attention pool (din.go:231-298 semantics)
+        weight = (cosine_similarity(behaviors, item[:, None, :]) + 1.0) * 0.5
+        gate = jax.nn.sigmoid(weight * params["att0"].astype(cd))
+        mask = (batch.behavior_ids >= 0).astype(cd)
+        gated = behaviors * (gate * mask)[..., None]
+        denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+        pooled = jnp.sum(gated, axis=1) / denom
+
+        h = jnp.concatenate([batch.user_profile.astype(cd), pooled, item,
+                             batch.ctx.astype(cd)], axis=1)
+        act = ACTIVATIONS[self.activation]
+        n_layers = len(params["mlp"])
+        if key is not None:
+            dkeys = jax.random.split(key, n_layers)
+        for i, w in enumerate(params["mlp"]):
+            h = jnp.dot(h, w.astype(cd), preferred_element_type=jnp.float32)
+            h = h + params["bias"][i]
+            if i < n_layers - 1:
+                h = act(h)
+                h = _dropout(h, self.dropout_rate,
+                             dkeys[i] if key is not None else None, train)
+                h = h.astype(cd)
+        return h[:, 0].astype(jnp.float32)   # logits
