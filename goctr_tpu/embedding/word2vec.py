@@ -1,0 +1,310 @@
+"""item2vec / word2vec: batched skip-gram & CBOW on device.
+
+Re-architecture of the reference engine
+(/root/reference/feature/embedding/model/word2vec/): where the reference runs
+Hogwild goroutines doing per-word axpy updates with a sigmoid lookup table
+(word2vec.go:151-221, optimizer.go:52-129, sigmoid_table.go), this builds the
+epoch's (center, context) examples vectorized on host, then trains in one
+jitted lax.scan of minibatches with **closed-form SGNS/HS gradients applied as
+scatter-adds** into donated [V, D] tables — no dense [V, D] gradient is ever
+materialized, so HBM traffic per step is O(batch · dim), the TPU equivalent of
+the reference's lock-free sparse writes (and deterministic, unlike Hogwild).
+
+Supported, mirroring options.go:38-104: SkipGram | CBOW × NegativeSampling |
+HierarchicalSoftmax, window shrink, frequency subsampling, min_count
+filtering, linear LR decay (word2vec.go:223-243).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from goctr_tpu.embedding.dictionary import Dictionary
+from goctr_tpu.embedding.huffman import build_huffman_paths
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class Word2VecOptions:
+    """Defaults mirror reference options.go:38-59 (dim 10, window 5,
+    lr 0.025, iter 15, min_count 5, negative 5, subsample 1e-3, cbow+ns);
+    TrainEmbedding overrides to skipgram+hs (wordemb.go:9-32)."""
+    dim: int = 10
+    window: int = 5
+    init_lr: float = 0.025
+    min_lr: Optional[float] = None          # default init_lr * 1e-4
+    iters: int = 15
+    min_count: int = 5
+    negative: int = 5
+    subsample_threshold: float = 1e-3
+    model: str = "skipgram"                 # skipgram | cbow
+    optimizer: str = "ns"                   # ns | hs
+    batch_size: int = 8192
+    max_depth: int = 100
+    to_lower: bool = False
+    seed: int = 0
+    verbose: bool = False
+    table_size: int = 1 << 20
+
+    def __post_init__(self):
+        if self.min_lr is None:
+            self.min_lr = self.init_lr * 1e-4
+
+
+class Word2Vec:
+
+    def __init__(self, opts: Optional[Word2VecOptions] = None, **kw):
+        self.opts = opts or Word2VecOptions(**kw)
+        self.dictionary: Optional[Dictionary] = None
+        self.w_in: Optional[np.ndarray] = None
+        self.w_out: Optional[np.ndarray] = None
+        self._paths = self._codes = self._lengths = None
+        self.words_trained = 0
+
+    # ----------------------------------------------------------- training --
+    def train(self, docs: Iterable[Sequence[str] | str]) -> "Word2Vec":
+        o = self.opts
+        t0 = time.perf_counter()
+        self.dictionary, encoded = Dictionary.build(docs, o.to_lower)
+        v = len(self.dictionary)
+        if v == 0:
+            raise ValueError("empty corpus")
+        counts = self.dictionary.counts_array()
+
+        # min_count filter (corpus filter semantics; ids keep their slots so
+        # the exported map covers only surviving words)
+        valid = counts >= o.min_count
+        if o.verbose:
+            log.info("vocab %d (%d ≥ min_count) read in %.2fs", v,
+                     int(valid.sum()), time.perf_counter() - t0)
+
+        rng = np.random.default_rng(o.seed)
+        self.w_in = ((rng.random((v, o.dim)).astype(np.float32) - 0.5)
+                     / o.dim)                       # word2vec standard init
+        if o.optimizer == "hs":
+            paths, codes, lengths = build_huffman_paths(
+                counts.tolist(), o.max_depth)
+            self._paths, self._codes, self._lengths = paths, codes, lengths
+            self.w_out = np.zeros((max(v - 1, 1), o.dim), np.float32)
+        else:
+            self.w_out = np.zeros((v, o.dim), np.float32)
+
+        keep = self.dictionary.keep_probs(o.subsample_threshold)
+        total_words = int(sum(len(d) for d in encoded))
+        flat_docs = [d[valid[d]] for d in encoded]   # drop rare words
+
+        w_in = jnp.asarray(self.w_in)
+        w_out = jnp.asarray(self.w_out)
+        device_tables = self._device_tables()
+        step_fn = self._make_epoch_fn()
+
+        words_done = 0
+        total_train_words = total_words * o.iters
+        for it in range(o.iters):
+            te = time.perf_counter()
+            centers, ctx = self._gen_examples(flat_docs, keep, rng)
+            if centers.size == 0:
+                continue
+            lr_start = max(o.min_lr,
+                           o.init_lr * (1 - words_done / total_train_words))
+            words_done += int(sum(len(d) for d in flat_docs))
+            lr_end = max(o.min_lr,
+                         o.init_lr * (1 - words_done / total_train_words))
+            w_in, w_out = step_fn(
+                w_in, w_out, *device_tables,
+                *self._batchify(centers, ctx, rng),
+                jnp.float32(lr_start), jnp.float32(lr_end),
+                jax.random.key(o.seed * 1000 + it))
+            self.words_trained += centers.size
+            if o.verbose:
+                jax.block_until_ready(w_in)
+                n = centers.size
+                log.info("iter %d: %d examples in %.2fs (%.0f/s)", it, n,
+                         time.perf_counter() - te,
+                         n / max(time.perf_counter() - te, 1e-9))
+        self.w_in = np.asarray(w_in)
+        self.w_out = np.asarray(w_out)
+        return self
+
+    # ------------------------------------------------------ example build --
+    def _gen_examples(self, docs: list[np.ndarray], keep: np.ndarray,
+                      rng: np.random.Generator):
+        """Vectorized window expansion with per-center window shrink and
+        subsampling (model.go:59-66 semantics). Returns (centers [N],
+        ctx [N] for skipgram | ctx [N, 2w] −1-padded for cbow)."""
+        o = self.opts
+        kept: list[np.ndarray] = []
+        bounds: list[int] = [0]
+        for d in docs:
+            if d.size == 0:
+                continue
+            m = rng.random(d.size) < keep[d]
+            dk = d[m]
+            if dk.size >= 2:
+                kept.append(dk)
+                bounds.append(bounds[-1] + dk.size)
+        if not kept:
+            return np.zeros(0, np.int32), np.zeros(0, np.int32)
+        flat = np.concatenate(kept).astype(np.int32)
+        n = flat.size
+        doc_id = np.repeat(np.arange(len(kept)), [k.size for k in kept])
+        radius = rng.integers(1, o.window + 1, n)
+
+        # context id matrix [n, 2w]: offsets −w..−1, 1..w
+        ctx = np.full((n, 2 * o.window), -1, dtype=np.int32)
+        col = 0
+        for off in range(-o.window, o.window + 1):
+            if off == 0:
+                continue
+            src = np.arange(n) + off
+            ok = (src >= 0) & (src < n) & (radius >= abs(off))
+            ok &= doc_id[np.clip(src, 0, n - 1)] == doc_id
+            ctx[ok, col] = flat[np.clip(src, 0, n - 1)][ok]
+            col += 1
+
+        if o.model == "cbow":
+            has_ctx = (ctx >= 0).any(axis=1)
+            return flat[has_ctx], ctx[has_ctx]
+        # skip-gram: flatten to pairs
+        rows, cols = np.nonzero(ctx >= 0)
+        return flat[rows], ctx[rows, cols]
+
+    def _batchify(self, centers: np.ndarray, ctx: np.ndarray,
+                  rng: np.random.Generator):
+        o = self.opts
+        n = centers.shape[0]
+        perm = rng.permutation(n)
+        centers, ctx = centers[perm], ctx[perm]
+        bs = o.batch_size
+        n_batches = -(-n // bs)
+        pad = n_batches * bs - n
+        if pad:
+            centers = np.concatenate([centers, np.full(pad, -1, np.int32)])
+            ctx = np.concatenate(
+                [ctx, np.full((pad,) + ctx.shape[1:], -1, np.int32)])
+        return (jnp.asarray(centers.reshape(n_batches, bs)),
+                jnp.asarray(ctx.reshape((n_batches, bs) + ctx.shape[1:])))
+
+    def _device_tables(self):
+        o = self.opts
+        if o.optimizer == "hs":
+            return (jnp.asarray(self._paths), jnp.asarray(self._codes))
+        return (jnp.asarray(self.dictionary.unigram_table(o.table_size)),
+                jnp.zeros((0, 0), jnp.float32))   # placeholder
+
+    # ------------------------------------------------------- jitted epoch --
+    def _make_epoch_fn(self):
+        o = self.opts
+        is_hs = o.optimizer == "hs"
+        is_cbow = o.model == "cbow"
+        neg_k = o.negative
+
+        @partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
+        def epoch(w_in, w_out, tab_a, tab_b, centers_b, ctx_b,
+                  lr_start, lr_end, key):
+            n_batches = centers_b.shape[0]
+
+            def body(carry, args):
+                w_in, w_out = carry
+                b, centers, ctx = args
+                frac = b.astype(jnp.float32) / jnp.maximum(n_batches - 1, 1)
+                lr = lr_start + (lr_end - lr_start) * frac
+                cmask = (centers >= 0).astype(jnp.float32)
+                c_safe = jnp.maximum(centers, 0)
+
+                if is_cbow:
+                    # input vector = mean of context vectors; "center" is target
+                    ctx_safe = jnp.maximum(ctx, 0)
+                    ctx_m = (ctx >= 0).astype(jnp.float32)
+                    vs = jnp.take(w_in, ctx_safe, axis=0)          # [B,2w,D]
+                    denom = jnp.maximum(ctx_m.sum(1, keepdims=True), 1.0)
+                    v = (vs * ctx_m[..., None]).sum(1) / denom     # [B,D]
+                    targets = c_safe
+                    t_mask = cmask
+                else:
+                    v = jnp.take(w_in, jnp.maximum(ctx, 0), axis=0)  # [B,D]
+                    # skip-gram convention (model.go:48-78): the *context*
+                    # word's input vector is trained against the center target
+                    targets = c_safe
+                    t_mask = cmask * (ctx >= 0).astype(jnp.float32)
+
+                # Batched SGD collision control: a row hit N times in one
+                # batch gets N summed updates (the reference's sequential
+                # Hogwild processes one at a time, word2vec.go:198-221, so
+                # its lr is per-example). Sum is exactly per-example SGD
+                # when collisions ≈ 1 (any realistic vocab); to stay stable
+                # when vocab ≪ batch, the accumulated per-row step is capped
+                # at `cap` examples' worth: scale = min(1, cap/count).
+                def row_scale(ids, mask, n_rows, cap=16.0):
+                    cnt = jnp.zeros((n_rows,), jnp.float32).at[ids].add(
+                        mask, mode="drop")
+                    per = jnp.take(cnt, ids, mode="clip")
+                    return jnp.minimum(1.0, cap / jnp.maximum(per, 1.0))
+
+                if is_hs:
+                    paths = jnp.take(tab_a, targets, axis=0)       # [B,P]
+                    codes = jnp.take(tab_b, targets, axis=0)       # [B,P]
+                    pmask = (paths >= 0).astype(jnp.float32) * t_mask[:, None]
+                    p_safe = jnp.maximum(paths, 0)
+                    u = jnp.take(w_out, p_safe, axis=0)            # [B,P,D]
+                    z = jnp.einsum("bd,bpd->bp", v, u)
+                    f = jax.nn.sigmoid(z)
+                    g = (1.0 - codes - f) * pmask * lr             # [B,P]
+                    dv = jnp.einsum("bp,bpd->bd", g, u)
+                    gs = g * row_scale(p_safe, pmask, w_out.shape[0])
+                    w_out = w_out.at[p_safe].add(
+                        gs[..., None] * v[:, None, :], mode="drop")
+                else:
+                    kkey = jax.random.fold_in(key, b)
+                    negs = jnp.take(
+                        tab_a,
+                        jax.random.randint(kkey, (centers.shape[0], neg_k),
+                                           0, tab_a.shape[0]))     # [B,K]
+                    ids = jnp.concatenate([targets[:, None], negs], 1)
+                    labels = jnp.concatenate(
+                        [jnp.ones_like(targets[:, None], jnp.float32),
+                         jnp.zeros_like(negs, jnp.float32)], 1)
+                    u = jnp.take(w_out, ids, axis=0)               # [B,K+1,D]
+                    z = jnp.einsum("bd,bkd->bk", v, u)
+                    g = (labels - jax.nn.sigmoid(z)) * t_mask[:, None] * lr
+                    dv = jnp.einsum("bk,bkd->bd", g, u)
+                    gs = g * row_scale(ids, jnp.ones_like(g), w_out.shape[0])
+                    w_out = w_out.at[ids].add(
+                        gs[..., None] * v[:, None, :], mode="drop")
+
+                if is_cbow:
+                    sc = row_scale(ctx_safe, ctx_m, w_in.shape[0])
+                    upd = ((dv / denom)[:, None, :]
+                           * (ctx_m * sc)[..., None])
+                    w_in = w_in.at[ctx_safe].add(upd, mode="drop")
+                else:
+                    in_ids = jnp.maximum(ctx, 0)
+                    sc = row_scale(in_ids, t_mask, w_in.shape[0])
+                    w_in = w_in.at[in_ids].add(
+                        dv * (t_mask * sc)[:, None], mode="drop")
+                return (w_in, w_out), None
+
+            (w_in, w_out), _ = jax.lax.scan(
+                body, (w_in, w_out),
+                (jnp.arange(n_batches), centers_b, ctx_b))
+            return w_in, w_out
+
+        return epoch
+
+    # --------------------------------------------------------------- export --
+    def vectors(self, agg: bool = True) -> np.ndarray:
+        """[V, D] float32. agg adds the context/output vectors for NS
+        (reference vector.Agg path, word2vec.go:249-272); HS exports w_in."""
+        if self.w_in is None:
+            raise RuntimeError("not trained")
+        if agg and self.opts.optimizer == "ns":
+            return self.w_in + self.w_out
+        return self.w_in

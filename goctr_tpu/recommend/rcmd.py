@@ -1,0 +1,290 @@
+"""Recommendation orchestrator: the user-facing Train / Rank / BatchPredict
+pipeline (TPU re-architecture of /root/reference/recommend/rcmd.go).
+
+The contract mirrors the reference's interface-driven design (rcmd.go:72-182):
+a user object implements `get_user_feature` / `get_item_feature` /
+`sample_generator`, optionally `get_user_behavior`, `item_seq_generator`,
+`pre_train`, `pre_rank` — composed by duck-typed hasattr checks, the Python
+analogue of Go type assertions (rcmd.go:199,207,279,509).
+
+Sample row layout (identical to rcmd.go:400-447):
+    [ user_profile | behavior_emb (T×D) | item_emb (D) | item_raw→ctx ]
+with ITEM_EMB_DIM=16, USER_BEHAVIOR_LEN=10 (rcmd.go:19-28). The reference's
+16-goroutine assembly fan-out (rcmd.go:375-397) becomes a thread pool for
+IO-bound feature fetches feeding one NumPy matrix.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import logging
+import time
+from collections import OrderedDict
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Iterable, Iterator, Optional, Protocol
+
+import numpy as np
+
+from goctr_tpu.embedding.store import EmbeddingMap, train_embedding
+from goctr_tpu.models.base import SampleInfo, TrainSample
+
+log = logging.getLogger(__name__)
+
+SAMPLE_ASSEMBLER = 16        # rcmd.go:20
+ITEM_EMB_DIM = 16            # rcmd.go:22
+ITEM_EMB_WINDOW = 5          # rcmd.go:23
+USER_BEHAVIOR_LEN = 10       # rcmd.go:24
+USER_FEATURE_CACHE_SIZE = 200_000
+ITEM_FEATURE_CACHE_SIZE = 2_000_000
+
+
+class Stage(enum.Enum):
+    TRAIN = 0
+    PREDICT = 1
+
+
+@dataclasses.dataclass
+class Context:
+    """Replaces Go's context.WithValue(StageKey, ...) stage routing."""
+    stage: Stage = Stage.TRAIN
+    values: dict = dataclasses.field(default_factory=dict)
+
+    def with_stage(self, stage: Stage) -> "Context":
+        return Context(stage=stage, values=self.values)
+
+
+@dataclasses.dataclass
+class Sample:
+    user_id: int
+    item_id: int
+    label: float = 0.0
+    timestamp: int = 0
+
+
+@dataclasses.dataclass
+class ItemScore:
+    item_id: int
+    score: float
+
+
+class LRUCache:
+    """Feature cache (replaces ccache, rcmd.go:344-353)."""
+
+    def __init__(self, max_size: int):
+        self.max_size = max_size
+        self._d: OrderedDict[Any, Any] = OrderedDict()
+
+    def fetch(self, key, fn):
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        v = fn()
+        self._d[key] = v
+        if len(self._d) > self.max_size:
+            self._d.popitem(last=False)
+        return v
+
+    def __len__(self):
+        return len(self._d)
+
+    def clear(self):
+        self._d.clear()
+
+
+# ---------------------------------------------------------------- fitters ---
+
+class PredictAbstract(Protocol):
+    def predict(self, x: np.ndarray) -> np.ndarray: ...
+
+
+class RankerFitter:
+    """Fitter building a DIN / YouTube-DNN / MLP ranker from the assembled
+    sample (the counterpart of dinimpl.Fit / SimpleMlpFitWrap.Fit)."""
+
+    def __init__(self, model_name: str = "mlp", trainer_config=None, **model_kw):
+        self.model_name = model_name
+        self.trainer_config = trainer_config
+        self.model_kw = model_kw
+        self.ranker = None
+
+    def fit(self, sample: TrainSample):
+        from goctr_tpu.models import DIN, MLPTower, YoutubeDNN, train_ranker
+        from goctr_tpu.models.trainer import TrainerConfig
+
+        info = sample.info
+        up, t, d, it, cx = info.dims(USER_BEHAVIOR_LEN)
+        name = self.model_name.lower()
+        if name == "din":
+            model = DIN(up, t, d, it, cx, **self.model_kw)
+        elif name in ("youtube_dnn", "youtube", "ytdnn"):
+            model = YoutubeDNN(up, t, d, it, cx, **self.model_kw)
+        else:
+            model = MLPTower(in_dim=sample.x_cols, **self.model_kw)
+        cfg = self.trainer_config or TrainerConfig()
+        self.ranker = train_ranker(model, sample, cfg)
+        return self.ranker
+
+
+@dataclasses.dataclass
+class Predictor:
+    """Train() result: feature provider + fitted model (rcmd.go:232-243)."""
+    rec_sys: Any
+    model: PredictAbstract
+    item_embedding_map: Optional[EmbeddingMap] = None
+
+
+# ----------------------------------------------------------- sample build ---
+
+class _State:
+    """Per-Train() mutable state (replaces reference package globals
+    rcmd.go:30-45; kept instance-local so concurrent trains don't collide)."""
+
+    def __init__(self):
+        self.user_cache = LRUCache(USER_FEATURE_CACHE_SIZE)
+        self.item_cache = LRUCache(ITEM_FEATURE_CACHE_SIZE)
+        self.item_embedding_map: Optional[EmbeddingMap] = None
+
+
+def get_sample_vector(ctx: Context, state: _State, rec_sys,
+                      key: Sample) -> tuple[np.ndarray, int, int]:
+    """One flat row (GetSampleVector rcmd.go:462-536): returns
+    (vec, user_width, item_width)."""
+    user = state.user_cache.fetch(
+        key.user_id, lambda: np.asarray(
+            rec_sys.get_user_feature(ctx, key.user_id), dtype=np.float32))
+    item = state.item_cache.fetch(
+        key.item_id, lambda: np.asarray(
+            rec_sys.get_item_feature(ctx, key.item_id), dtype=np.float32))
+
+    emb_map = state.item_embedding_map
+    item_emb = np.zeros(ITEM_EMB_DIM, np.float32)
+    behaviors = np.zeros(ITEM_EMB_DIM * USER_BEHAVIOR_LEN, np.float32)
+    if emb_map:
+        item_emb = emb_map.get_vec(str(key.item_id), ITEM_EMB_DIM)
+        if hasattr(rec_sys, "get_user_behavior"):
+            item_seq = rec_sys.get_user_behavior(
+                ctx, key.user_id, USER_BEHAVIOR_LEN, -1, key.timestamp)
+            for i, item_id in enumerate(item_seq[:USER_BEHAVIOR_LEN]):
+                behaviors[i * ITEM_EMB_DIM:(i + 1) * ITEM_EMB_DIM] = \
+                    emb_map.get_vec(str(item_id), ITEM_EMB_DIM)
+
+    vec = np.concatenate([user, behaviors, item_emb, item])
+    return vec, user.shape[0], item.shape[0]
+
+
+def get_sample(rec_sys, ctx: Context,
+               state: Optional[_State] = None) -> TrainSample:
+    """Assemble the whole training matrix (GetSample rcmd.go:339-460):
+    threaded feature fetch (IO-bound SQL), single accumulation, SampleInfo
+    ranges derived exactly as the reference does."""
+    state = state or _State()
+    samples: Iterator[Sample] = rec_sys.sample_generator(ctx)
+
+    rows: list[np.ndarray] = []
+    labels: list[float] = []
+    u_width = i_width = -1
+
+    def assemble(s: Sample):
+        try:
+            return s, get_sample_vector(ctx, state, rec_sys, s)
+        except Exception as e:     # drop bad samples (rcmd.go:385-388)
+            log.debug("get sample vector error: %s", e)
+            return s, None
+
+    with ThreadPoolExecutor(max_workers=SAMPLE_ASSEMBLER) as pool:
+        for s, res in pool.map(assemble, samples, chunksize=64):
+            if res is None:
+                continue
+            vec, uw, iw = res
+            if u_width < 0:
+                u_width, i_width = uw, iw
+            elif uw != u_width or iw != i_width:
+                raise ValueError(
+                    f"feature width mismatch: user {uw}!={u_width} "
+                    f"item {iw}!={i_width}")
+            rows.append(vec)
+            labels.append(s.label)
+
+    if not rows:
+        raise ValueError("no samples assembled")
+    x = np.stack(rows)
+    y = np.asarray(labels, dtype=np.float32)
+    ub0 = u_width
+    ub1 = ub0 + ITEM_EMB_DIM * USER_BEHAVIOR_LEN
+    it1 = ub1 + ITEM_EMB_DIM
+    info = SampleInfo(
+        user_profile_range=(0, u_width),
+        user_behavior_range=(ub0, ub1),
+        item_feature_range=(ub1, it1),    # embeddings only (rcmd.go:408-409)
+        ctx_feature_range=(it1, it1 + i_width),  # raw item feats → ctx
+    )
+    return TrainSample(x=x, y=y, info=info)
+
+
+# ------------------------------------------------------------ entrypoints ---
+
+def Train(ctx: Context, rec_sys, fitter) -> Predictor:
+    """Training pipeline (rcmd.go:196-246): PreTrain → item2vec → sample
+    assembly → fit."""
+    ctx = ctx.with_stage(Stage.TRAIN)
+    state = _State()
+
+    if hasattr(rec_sys, "pre_train"):
+        rec_sys.pre_train(ctx)
+
+    if hasattr(rec_sys, "item_seq_generator"):
+        t0 = time.perf_counter()
+        seqs = rec_sys.item_seq_generator(ctx)
+        state.item_embedding_map = train_embedding(
+            seqs, window=ITEM_EMB_WINDOW, dim=ITEM_EMB_DIM, iters=1)
+        log.info("item2vec: %d embeddings in %.1fs",
+                 len(state.item_embedding_map), time.perf_counter() - t0)
+
+    sample = get_sample(rec_sys, ctx, state)
+    log.info("start training with %d x %d samples", sample.rows,
+             sample.x_cols)
+    model = fitter.fit(sample)
+    pred = Predictor(rec_sys=rec_sys, model=model,
+                     item_embedding_map=state.item_embedding_map)
+    pred._state = state   # keep caches warm for serving (reference reuses
+    #                       the same package-level caches, rcmd.go:34-36)
+    return pred
+
+
+def BatchPredict(ctx: Context, predictor: Predictor,
+                 sample_keys: list[Sample]) -> np.ndarray:
+    """Scores [n] (rcmd.go:277-337): PredictStage feature sourcing, PreRank
+    hook, zero-fill for rows whose features fail after the first."""
+    ctx = ctx.with_stage(Stage.PREDICT)
+    rec_sys = predictor.rec_sys
+    if hasattr(rec_sys, "pre_rank"):
+        rec_sys.pre_rank(ctx)
+
+    state = getattr(predictor, "_state", None) or _State()
+    state.item_embedding_map = predictor.item_embedding_map
+
+    rows = []
+    width = None
+    for i, key in enumerate(sample_keys):
+        try:
+            vec, _, _ = get_sample_vector(ctx, state, rec_sys, key)
+            width = vec.shape[0]
+        except Exception as e:
+            if i == 0:
+                raise
+            log.debug("zero-filling failed row %d: %s", i, e)
+            vec = np.zeros(width, np.float32)
+        rows.append(vec)
+    x = np.stack(rows)
+    return np.asarray(predictor.model.predict(x)).ravel()
+
+
+def Rank(ctx: Context, predictor: Predictor, user_id: int,
+         item_ids: list[int]) -> list[ItemScore]:
+    """Score a candidate list for one user (rcmd.go:248-275)."""
+    now = int(time.time())
+    keys = [Sample(user_id=user_id, item_id=i, timestamp=now)
+            for i in item_ids]
+    scores = BatchPredict(ctx, predictor, keys)
+    return [ItemScore(item_id=i, score=float(s))
+            for i, s in zip(item_ids, scores)]

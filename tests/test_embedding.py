@@ -1,0 +1,129 @@
+"""item2vec engine tests: dictionary/huffman invariants, embedding quality on
+a planted-cluster corpus (the TPU analogue of wordemb_test.go's
+nearest-neighbor eyeball, made assertable), io round-trips."""
+import io
+
+import numpy as np
+import pytest
+
+from goctr_tpu.embedding import (
+    Dictionary, Searcher, Word2Vec, Word2VecOptions, load_embedding_map,
+    save_embedding_map, train_embedding,
+)
+from goctr_tpu.embedding.huffman import build_huffman_paths
+from goctr_tpu.embedding.store import embedding_map_from_model
+
+
+def test_dictionary_build():
+    d, enc = Dictionary.build([["a", "b", "a"], "b c"])
+    assert d.word2id == {"a": 0, "b": 1, "c": 2}
+    assert d.counts == [2, 2, 1]
+    np.testing.assert_array_equal(enc[0], [0, 1, 0])
+    np.testing.assert_array_equal(enc[1], [1, 2])
+
+
+def test_unigram_table_distribution():
+    d = Dictionary()
+    d.add(*(["a"] * 90 + ["b"] * 10))
+    t = d.unigram_table(size=10000)
+    frac_a = np.mean(t == 0)
+    # 90^0.75 : 10^0.75 → ~0.836
+    assert frac_a == pytest.approx(0.836, abs=0.02)
+
+
+def test_huffman_invariants():
+    counts = [50, 30, 10, 5, 5]
+    paths, codes, lengths = build_huffman_paths(counts)
+    # prefix property: frequent words get shorter codes
+    assert lengths[0] <= lengths[2] <= lengths[3]
+    # expected code length = optimal Huffman cost
+    total = sum(counts)
+    avg = sum(c * l for c, l in zip(counts, lengths)) / total
+    assert avg <= 2.3  # optimal for this distribution is ~2.05-2.3
+    # all path node ids < V-1
+    assert paths.max() < len(counts) - 1
+    # codes are 0/1 within lengths
+    for i, L in enumerate(lengths):
+        assert set(np.unique(codes[i, :L])) <= {0.0, 1.0}
+        assert np.all(paths[i, :L] >= 0)
+
+
+def _cluster_corpus(n_docs=3000, seed=0):
+    """Two disjoint vocab clusters; words co-occur only within a cluster."""
+    rng = np.random.default_rng(seed)
+    a = [f"a{i}" for i in range(10)]
+    b = [f"b{i}" for i in range(10)]
+    docs = []
+    for _ in range(n_docs):
+        pool = a if rng.random() < 0.5 else b
+        docs.append(list(rng.choice(pool, size=8)))
+    return docs
+
+
+def _intra_inter(emb):
+    words, mat = emb.as_arrays()
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    is_a = np.array([w.startswith("a") for w in words])
+    intra = (sims[np.ix_(is_a, is_a)].mean() +
+             sims[np.ix_(~is_a, ~is_a)].mean()) / 2
+    inter = sims[np.ix_(is_a, ~is_a)].mean()
+    return intra, inter
+
+
+@pytest.mark.parametrize("model,opt", [
+    ("skipgram", "ns"), ("skipgram", "hs"), ("cbow", "ns"), ("cbow", "hs"),
+])
+def test_word2vec_learns_clusters(model, opt):
+    docs = _cluster_corpus()
+    w2v = Word2Vec(Word2VecOptions(
+        dim=16, window=3, iters=3, min_count=1, model=model, optimizer=opt,
+        batch_size=512, seed=1, subsample_threshold=0)).train(docs)
+    emb = embedding_map_from_model(w2v)
+    assert len(emb) == 20 and emb.dim == 16
+    intra, inter = _intra_inter(emb)
+    assert intra > inter + 0.2, f"{model}/{opt}: intra {intra} inter {inter}"
+
+
+def test_train_embedding_high_level():
+    emb = train_embedding(_cluster_corpus(1000), window=3, dim=16, iters=2,
+                          min_count=1)
+    assert len(emb) == 20
+    intra, inter = _intra_inter(emb)
+    assert intra > inter
+
+
+def test_min_count_filters_words():
+    docs = [["x", "y"] * 10, ["rare", "x"]]
+    emb = train_embedding(docs, window=2, dim=4, iters=1, min_count=2)
+    assert "x" in emb and "y" in emb and "rare" not in emb
+    # unknown word → zero vector of right dim
+    assert emb.get_vec("nope").shape == (4,)
+    assert np.all(emb.get_vec("nope") == 0)
+
+
+def test_searcher():
+    emb = {"a": np.array([1.0, 0.0]), "b": np.array([0.9, 0.1]),
+           "c": np.array([0.0, 1.0])}
+    s = Searcher(emb)
+    res = s.search("a", k=2)
+    assert res[0][0] == "b"
+    assert res[0][1] > res[1][1]
+    assert s.search("missing") == []
+
+
+def test_save_load_roundtrip(tmp_path):
+    emb = {"w1": np.array([0.5, -1.25], np.float32),
+           "w2": np.array([3.0, 4.0], np.float32)}
+    p = tmp_path / "model.txt"
+    save_embedding_map(p, emb)
+    loaded = load_embedding_map(p)
+    assert set(loaded) == {"w1", "w2"}
+    np.testing.assert_allclose(loaded["w1"], emb["w1"], rtol=1e-6)
+    # also via text buffer
+    buf = io.StringIO()
+    save_embedding_map(buf, emb)
+    buf.seek(0)
+    assert "w1 " in buf.getvalue()
+    loaded2 = load_embedding_map(buf)
+    np.testing.assert_allclose(loaded2["w2"], emb["w2"], rtol=1e-6)

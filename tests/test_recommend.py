@@ -1,0 +1,146 @@
+"""Orchestrator pipeline tests with an in-memory RecSys implementing the
+full optional-interface surface (the hermetic analogue of the reference's
+movielens integration tests, SURVEY.md §4 tier 4)."""
+import numpy as np
+import pytest
+
+from goctr_tpu.models.trainer import TrainerConfig
+from goctr_tpu.recommend import (
+    BatchPredict, Context, ITEM_EMB_DIM, Rank, RankerFitter, Sample, Stage,
+    Train, USER_BEHAVIOR_LEN, get_sample,
+)
+
+N_USERS, N_ITEMS = 50, 120
+
+
+class FakeRec:
+    """Planted taste: user u likes items with (item % 10) == (u % 10)."""
+
+    def __init__(self, n_samples=3000, seed=0):
+        self.rng = np.random.default_rng(seed)
+        self.n_samples = n_samples
+        self.pre_train_called = 0
+        self.pre_rank_called = 0
+        # per-user behavior history: items the user liked, ts ascending ids
+        self.history = {
+            u: [int(x) for x in
+                np.arange(u % 10, N_ITEMS, 10)[self.rng.permutation(12)][:8]]
+            for u in range(N_USERS)
+        }
+
+    # --- required surface -------------------------------------------------
+    def get_user_feature(self, ctx, user_id):
+        if user_id >= N_USERS:
+            raise KeyError(user_id)
+        onehot = np.zeros(10, np.float32)
+        onehot[user_id % 10] = 1.0
+        return np.concatenate([onehot, [user_id / N_USERS]])
+
+    def get_item_feature(self, ctx, item_id):
+        if item_id >= N_ITEMS:
+            raise KeyError(item_id)
+        onehot = np.zeros(10, np.float32)
+        onehot[item_id % 10] = 1.0
+        return np.concatenate([onehot, [item_id / N_ITEMS]])
+
+    def sample_generator(self, ctx):
+        for i in range(self.n_samples):
+            u = int(self.rng.integers(0, N_USERS))
+            it = int(self.rng.integers(0, N_ITEMS))
+            label = 1.0 if (it % 10) == (u % 10) else 0.0
+            if self.rng.random() < 0.1:   # label noise
+                label = 1.0 - label
+            yield Sample(user_id=u, item_id=it, label=label,
+                         timestamp=1000 + i)
+
+    # --- optional surface -------------------------------------------------
+    def get_user_behavior(self, ctx, user_id, max_len, max_pk, max_ts):
+        return self.history.get(user_id, [])[:max_len]
+
+    def item_seq_generator(self, ctx):
+        for u, items in self.history.items():
+            yield [str(i) for i in items]
+
+    def pre_train(self, ctx):
+        self.pre_train_called += 1
+
+    def pre_rank(self, ctx):
+        self.pre_rank_called += 1
+
+
+@pytest.fixture(scope="module")
+def trained():
+    rec = FakeRec()
+    fitter = RankerFitter(
+        "mlp", TrainerConfig(batch_size=256, epochs=12, early_stop=0,
+                             lr=5e-3))
+    ctx = Context()
+    predictor = Train(ctx, rec, fitter)
+    return rec, predictor
+
+
+def test_train_pipeline_calls_hooks(trained):
+    rec, predictor = trained
+    assert rec.pre_train_called == 1
+    assert predictor.item_embedding_map is not None
+    assert len(predictor.item_embedding_map) > 0
+
+
+def test_sample_layout(trained):
+    rec, _ = trained
+    sample = get_sample(rec, Context())
+    info = sample.info
+    assert info.user_profile_range == (0, 11)
+    assert info.user_behavior_range == (11, 11 + ITEM_EMB_DIM * USER_BEHAVIOR_LEN)
+    ub_end = 11 + ITEM_EMB_DIM * USER_BEHAVIOR_LEN
+    assert info.item_feature_range == (ub_end, ub_end + ITEM_EMB_DIM)
+    assert info.ctx_feature_range == (ub_end + ITEM_EMB_DIM,
+                                      ub_end + ITEM_EMB_DIM + 11)
+    assert sample.x.shape[1] == info.ctx_feature_range[1]
+
+
+def test_rank_orders_matching_items_first(trained):
+    rec, predictor = trained
+    ctx = Context()
+    user = 7   # likes items ≡ 7 (mod 10)
+    items = list(range(20))
+    scores = Rank(ctx, predictor, user, items)
+    assert rec.pre_rank_called >= 1
+    by_score = sorted(scores, key=lambda s: -s.score)
+    top3 = {s.item_id % 10 for s in by_score[:3]}
+    assert 7 in top3
+    match_avg = np.mean([s.score for s in scores if s.item_id % 10 == 7])
+    other_avg = np.mean([s.score for s in scores if s.item_id % 10 != 7])
+    assert match_avg > other_avg
+
+
+def test_batch_predict_zero_fills_bad_rows(trained):
+    rec, predictor = trained
+    keys = [Sample(user_id=1, item_id=1), Sample(user_id=9999, item_id=1)]
+    scores = BatchPredict(Context(), predictor, keys)
+    assert scores.shape == (2,)   # bad row zero-filled, not dropped
+
+
+def test_batch_predict_first_row_failure_raises(trained):
+    rec, predictor = trained
+    with pytest.raises(KeyError):
+        BatchPredict(Context(), predictor,
+                     [Sample(user_id=9999, item_id=1)])
+
+
+def test_stage_routing():
+    ctx = Context()
+    assert ctx.stage == Stage.TRAIN
+    pctx = ctx.with_stage(Stage.PREDICT)
+    assert pctx.stage == Stage.PREDICT and ctx.stage == Stage.TRAIN
+
+
+def test_din_fitter_on_pipeline():
+    rec = FakeRec(n_samples=1500, seed=1)
+    fitter = RankerFitter(
+        "din", TrainerConfig(batch_size=256, epochs=3, early_stop=0),
+        activation="relu")
+    predictor = Train(Context(), rec, fitter)
+    scores = Rank(Context(), predictor, 3, list(range(10)))
+    assert len(scores) == 10
+    assert all(0 <= s.score <= 1 for s in scores)
