@@ -1,0 +1,203 @@
+"""MovieLens reference app: the RecSys implementation driving the example
+pipeline — feature parity with /root/reference/example/movielens/.
+
+Feature vectors (bit-compatible with the Go example):
+  item (feature.go:87-143): 5 genres × 10-dim FNV-1 hash one-hot +
+    (year-1990)/20 + avg_rating/5 + log2(cnt_rating)
+  user (feature.go:145-196): avgRating/5, cntRating/100 + top-5 genres ×
+    10-dim hash one-hot (count-desc, first-seen tiebreak)
+Labels binarize at rating > 3.5 (feature.go:386-398). Stage-keyed table
+sourcing (train vs test, feature.go:156-163); user-behavior via prefilled
+ub caches with SQL fallback (prepare.go:13-67).
+"""
+from __future__ import annotations
+
+import math
+import re
+import sqlite3
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from goctr_tpu.features.hashing import hash_onehot
+from goctr_tpu.features.ubcache import UserBehaviorCache
+from goctr_tpu.recommend.rcmd import Context, Sample, Stage
+from goctr_tpu.utils.util import parse_int64_seq, top_n_occurrences
+
+_YEAR_RE = re.compile(r"\((\d{4})\)$")
+
+
+def genre_feature(genre: str) -> np.ndarray:
+    """feature.go:199-201: HashOneHot32(genre, 10)."""
+    return hash_onehot(genre, 10)
+
+
+def binarize_label(rating: float) -> float:
+    """feature.go:386-398."""
+    return 1.0 if rating > 3.5 else 0.0
+
+
+class MovielensRec:
+
+    def __init__(self, data_path: str, sample_cnt: int = 80000):
+        self.data_path = data_path
+        self.sample_cnt = sample_cnt
+        self._local = threading.local()
+        self.m_rating_map: dict[int, tuple[float, float]] = {}
+        self.ubc_train: Optional[UserBehaviorCache] = None
+        self.ubc_predict: Optional[UserBehaviorCache] = None
+
+    # --------------------------------------------------------------- db ----
+    @property
+    def db(self) -> sqlite3.Connection:
+        conn = getattr(self._local, "conn", None)
+        if conn is None:
+            conn = sqlite3.connect(f"file:{self.data_path}?mode=ro", uri=True)
+            self._local.conn = conn
+        return conn
+
+    # --------------------------------------------------- required surface --
+    def get_item_feature(self, ctx: Context, item_id: int) -> np.ndarray:
+        row = self.db.execute(
+            "SELECT title, genres FROM movies WHERE movieId = ?",
+            (item_id,)).fetchone()
+        if row is None:
+            raise KeyError(f"itemId {item_id} not found")
+        title, genres = row
+        m = _YEAR_RE.search(title or "")
+        year = int(m.group(1)) if m else 0
+        gt = np.zeros(50, np.float32)
+        for i, g in enumerate((genres or "").split("|")[:5]):
+            gt[i * 10:(i + 1) * 10] = genre_feature(g)
+        avg_r, cnt_r = 0.0, 0.0
+        mr = self.m_rating_map.get(item_id)
+        if mr:
+            avg_r = mr[0] / 5.0
+            cnt_r = math.log2(mr[1]) if mr[1] > 0 else 0.0
+        return np.concatenate([gt, np.asarray(
+            [(year - 1990) / 20.0, avg_r, cnt_r], np.float32)])
+
+    def get_user_feature(self, ctx: Context, user_id: int) -> np.ndarray:
+        table = ("user_feature_train" if ctx.stage == Stage.TRAIN
+                 else "user_feature_test")
+        row = self.db.execute(
+            f"SELECT ugenres, avgRating, cntRating FROM {table} "
+            f"WHERE userId = ?", (user_id,)).fetchone()
+        if row is None:
+            raise KeyError(f"userId {user_id} not found")
+        ugenres, avg_r, cnt_r = row
+        genre_list = [g for g in re.split(r"[|,]", ugenres or "") if g]
+        top5 = top_n_occurrences(genre_list, 5)
+        gt = np.zeros(50, np.float32)
+        for i, (g, _) in enumerate(top5):
+            gt[i * 10:(i + 1) * 10] = genre_feature(g)
+        head = np.asarray([(avg_r or 0.0) / 5.0, (cnt_r or 0.0) / 100.0],
+                          np.float32)
+        return np.concatenate([head, gt])
+
+    def sample_generator(self, ctx: Context) -> Iterator[Sample]:
+        cur = self.db.execute(
+            "SELECT userId, movieId, rating, timestamp FROM ratings_train "
+            "ORDER BY timestamp, userId ASC LIMIT ?", (self.sample_cnt,))
+        for user_id, movie_id, rating, ts in cur:
+            yield Sample(user_id=int(user_id), item_id=int(movie_id),
+                         label=binarize_label(rating), timestamp=int(ts))
+
+    # --------------------------------------------------- optional surface --
+    def item_seq_generator(self, ctx: Context) -> Iterator[list[str]]:
+        """Per-user liked-item docs. The reference streams one global
+        ordered item stream (feature.go:47-84); per-user docs avoid
+        cross-user windows and train the same similarity structure."""
+        cur = self.db.execute(
+            "SELECT userId, movieId FROM ratings_train WHERE rating > 3.5 "
+            "ORDER BY userId, timestamp")
+        doc: list[str] = []
+        prev_user = None
+        for user_id, movie_id in cur:
+            if prev_user is not None and user_id != prev_user and doc:
+                yield doc
+                doc = []
+            prev_user = user_id
+            doc.append(str(movie_id))
+        if doc:
+            yield doc
+
+    def get_user_behavior(self, ctx: Context, user_id: int, max_len: int,
+                          max_pk: int, max_ts: int) -> list[int]:
+        cache = (self.ubc_train if ctx.stage == Stage.TRAIN
+                 else self.ubc_predict)
+        if cache is not None:
+            seq = cache.get(user_id, max_ts=max_ts, count=max_len)
+            if seq is not None:
+                return [int(x) for x in seq.items]
+        table = ("ratings_train" if ctx.stage == Stage.TRAIN
+                 else "ratings_test")
+        cur = self.db.execute(
+            f"SELECT movieId FROM {table} WHERE userId = ? AND "
+            f"timestamp <= ? ORDER BY timestamp DESC LIMIT ?",
+            (user_id, max_ts, max_len))
+        return [int(r[0]) for r in cur.fetchall()]
+
+    def pre_train(self, ctx: Context) -> None:
+        """feature.go:255-296: rating aggregates + train ub-cache fill."""
+        cur = self.db.execute(
+            "SELECT movieId, avg(rating), count(rating) FROM ratings_train "
+            "GROUP BY movieId")
+        self.m_rating_map = {int(m): (float(a), float(c)) for m, a, c in cur}
+        if self.ubc_train is None:
+            self.ubc_train = UserBehaviorCache()
+            self._fill_ub_cache(self.ubc_train, "ub_train")
+
+    def pre_rank(self, ctx: Context) -> None:
+        """prepare.go:116-126: fill predict-stage ub cache."""
+        if self.ubc_predict is None:
+            self.ubc_predict = UserBehaviorCache()
+            self._fill_ub_cache(self.ubc_predict, "ub_test")
+
+    def _fill_ub_cache(self, ubc: UserBehaviorCache, table: str) -> None:
+        cur = self.db.execute(
+            f"SELECT userId, movieIds, timestamps FROM {table}")
+        for user_id, movie_ids, timestamps in cur:
+            items = parse_int64_seq(movie_ids or "")
+            ts = parse_int64_seq(timestamps or "")
+            if len(items) != len(ts):
+                continue
+            ubc.set(int(user_id), ts=ts, items=items)
+
+    # ----------------------------------------------------- dashboard hooks --
+    def get_users_feature_overview(self, ctx: Context, offset: int,
+                                   size: int, opts=None) -> dict:
+        q = "SELECT userId, is_train FROM user"
+        if size > 0:
+            q += f" LIMIT {int(size)} OFFSET {int(offset)}"
+        users = [{"user_id": int(u), "UserFeatures": {"is_train": bool(t)}}
+                 for u, t in self.db.execute(q)]
+        return {"users": users}
+
+    def get_items_feature_overview(self, ctx: Context, offset: int,
+                                   size: int, opts=None) -> dict:
+        q = "SELECT movieId, title, genres FROM movies"
+        if size > 0:
+            q += f" LIMIT {int(size)} OFFSET {int(offset)}"
+        items = [{"item_id": int(m),
+                  "ItemFeatures": {"title": t, "generes": g}}
+                 for m, t, g in self.db.execute(q)]
+        return {"items": items}
+
+    def get_dashboard_overview(self, ctx: Context) -> dict:
+        users = self.db.execute("SELECT count(*) FROM user").fetchone()[0]
+        items = self.db.execute("SELECT count(*) FROM movies").fetchone()[0]
+        return {"users": int(users), "items": int(items),
+                "total_positive": 0, "valid_positive": 0,
+                "valid_negative": 0}
+
+    # -------------------------------------------------------------- eval ---
+    def test_samples(self, limit: int = 0) -> list[Sample]:
+        q = ("SELECT userId, movieId, rating, timestamp FROM ratings_test "
+             "ORDER BY timestamp, userId")
+        if limit:
+            q += f" LIMIT {int(limit)}"
+        return [Sample(user_id=int(u), item_id=int(m),
+                       label=binarize_label(r), timestamp=int(t))
+                for u, m, r, t in self.db.execute(q)]

@@ -185,6 +185,14 @@ class Word2Vec:
         centers, ctx = centers[perm], ctx[perm]
         bs = o.batch_size
         n_batches = -(-n // bs)
+        # bucket batch count to the next power of two: epoch shapes then
+        # repeat across iterations/corpora, so the jitted epoch compiles
+        # once (compiles via the remote-compile relay cost minutes; padded
+        # batches are masked no-ops)
+        bucket = 1
+        while bucket < n_batches:
+            bucket *= 2
+        n_batches = bucket
         pad = n_batches * bs - n
         if pad:
             centers = np.concatenate([centers, np.full(pad, -1, np.int32)])

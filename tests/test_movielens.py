@@ -1,0 +1,124 @@
+"""Hermetic MovieLens integration tests: generated SQLite fixture → full
+Train pipeline → test-set AUC gate → HTTP serving round-trip.
+
+The assertable version of the reference's fixture-dependent tier-4 tests
+(example/movielens/feature_test.go:80-115 prints AUC; here it's a gate).
+"""
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from goctr_tpu.core.metrics import gauc, roc_auc_score
+from goctr_tpu.data.fixture import generate_movielens_fixture
+from goctr_tpu.data.movielens import MovielensRec
+from goctr_tpu.data.schema import SqliteScanner
+from goctr_tpu.models.trainer import TrainerConfig
+from goctr_tpu.recommend import BatchPredict, Context, RankerFitter, Train
+from goctr_tpu.serve.api import RecApiServer
+
+
+@pytest.fixture(scope="module")
+def db_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("ml") / "movielens.db"
+    generate_movielens_fixture(p, n_users=200, n_movies=300, n_ratings=12000,
+                               seed=7)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def predictor(db_path):
+    rec = MovielensRec(db_path, sample_cnt=80000)
+    fitter = RankerFitter(
+        "mlp", TrainerConfig(batch_size=256, epochs=15, early_stop=0,
+                             lr=3e-3, l2=1e-5), hidden=(100,),
+        activation="relu")
+    return Train(Context(), rec, fitter)
+
+
+def test_schema_scanner(db_path):
+    s = SqliteScanner(db_path)
+    tables = set(s.tables())
+    assert {"ratings", "ratings_train", "ratings_test", "movies", "user",
+            "user_feature_train", "user_feature_test", "ub_train",
+            "ub_test"} <= tables
+    cols = {c.name for c in s.get_schema("ratings")}
+    assert cols == {"userId", "movieId", "rating", "timestamp"}
+    n = sum(1 for _ in s.scan_rows("SELECT * FROM ratings LIMIT 10"))
+    assert n == 10
+    with pytest.raises(ValueError):
+        s.get_schema("nope")
+
+
+def test_item_feature_layout(db_path):
+    rec = MovielensRec(db_path)
+    rec.pre_train(Context())
+    f = rec.get_item_feature(Context(), 1)
+    assert f.shape == (53,)          # 5×10 genre + year + avg + cnt
+    u = rec.get_user_feature(Context(), 1)
+    assert u.shape == (52,)          # avg, cnt + 5×10 genres
+    with pytest.raises(KeyError):
+        rec.get_item_feature(Context(), 99999)
+
+
+def test_end_to_end_auc_beats_chance(predictor, db_path):
+    """Planted favorite-genre signal must be learned: AUC > 0.65 on the
+    held-out user split (reference ML-100k MLP reaches 0.78 on real data)."""
+    rec = predictor.rec_sys
+    test = rec.test_samples(limit=4000)
+    assert len(test) > 500
+    scores = BatchPredict(Context(), predictor, test)
+    y = np.asarray([s.label for s in test])
+    users = np.asarray([s.user_id for s in test])
+    auc = roc_auc_score(y, scores)
+    g = gauc(y, scores, users)
+    assert auc > 0.65, f"AUC {auc}"
+    assert g > 0.5, f"GAUC {g}"
+
+
+def test_http_serving_roundtrip(predictor):
+    server = RecApiServer(predictor, port=0).start(background=True)
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        req = urllib.request.Request(
+            base + "/api/v1/recommend",
+            data=json.dumps({"userId": 1, "itemIdList": [1, 2, 3]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            body = json.loads(r.read())
+        assert len(body["itemScoreList"]) == 3
+        assert all(0 <= s["score"] <= 1 for s in body["itemScoreList"])
+
+        with urllib.request.urlopen(base + "/service/overview") as r:
+            ov = json.loads(r.read())
+        assert ov["users"] == 200 and ov["items"] == 300
+
+        with urllib.request.urlopen(
+                base + "/service/items?page=1&size=5") as r:
+            items = json.loads(r.read())
+        assert len(items["items"]) == 5
+
+        # error paths: empty itemIdList → 400 (api.go:116)
+        req = urllib.request.Request(
+            base + "/api/v1/recommend",
+            data=json.dumps({"userId": 1, "itemIdList": []}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+
+        with urllib.request.urlopen(base + "/") as r:
+            html = r.read().decode()
+        assert "dashboard" in html.lower()
+    finally:
+        server.stop()
+
+
+def test_fixture_deterministic(tmp_path):
+    a, b = tmp_path / "a.db", tmp_path / "b.db"
+    generate_movielens_fixture(a, n_users=20, n_movies=30, n_ratings=200)
+    generate_movielens_fixture(b, n_users=20, n_movies=30, n_ratings=200)
+    sa = SqliteScanner(str(a)).scan_rows("SELECT * FROM ratings")
+    sb = SqliteScanner(str(b)).scan_rows("SELECT * FROM ratings")
+    assert list(sa) == list(sb)
