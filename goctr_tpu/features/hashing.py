@@ -78,9 +78,15 @@ def hash_bucket_batch(values: Sequence[str] | Iterable[str],
 
     This is the TPU-native representation: indices feed `jnp.take` /
     sharded-table lookups; dense one-hots are only materialized for the
-    parity-sized models.
+    parity-sized models. Routes through the C tier when built.
     """
-    return np.fromiter((fnv32(v) % size for v in values), dtype=np.int32)
+    values = list(values)
+    try:
+        from goctr_tpu.native.hashing import hash_bucket_batch as _native
+        return _native(values, size)
+    except Exception:
+        return np.fromiter((fnv32(v) % size for v in values),
+                           dtype=np.int32, count=len(values))
 
 
 def multihot_indices(s: str, sep: str, size: int) -> np.ndarray:

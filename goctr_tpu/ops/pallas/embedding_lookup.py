@@ -1,0 +1,102 @@
+"""Fused embedding gather+pool Pallas kernel.
+
+pool(table[ids]) without materializing [B, K, D]: the table stays in HBM,
+ids arrive via scalar prefetch (SMEM) so each grid step can start its row
+DMAs before compute, and rows stream into a double-buffered VMEM scratch
+where they are summed. HBM traffic is exactly K row-reads + one [B, D]
+write — the Pallas realization of SURVEY.md §7's "fused gather+pool"
+kernel (reference equivalent: the per-sample Go loop filling behavior
+embeddings, rcmd.go:509-531).
+
+The jnp fallback (take+sum, XLA-fused) is used for tiny K and in tests on
+CPU; `fused_gather_pool` auto-routes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(ids_ref, table_ref, out_ref, scratch, sems, *, k: int,
+            combiner: str):
+    b = pl.program_id(0)
+
+    def dma(slot, j):
+        row = ids_ref[b, j]
+        return pltpu.make_async_copy(
+            table_ref.at[jnp.maximum(row, 0)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    dma(0, 0).start()
+
+    def body(j, acc_count):
+        acc, count = acc_count
+        slot = j % 2
+
+        @pl.when(j + 1 < k)
+        def _():
+            dma((j + 1) % 2, j + 1).start()
+
+        dma(slot, j).wait()
+        valid = (ids_ref[b, j] >= 0).astype(jnp.float32)
+        acc = acc + scratch[slot] * valid
+        count = count + valid
+        return acc, count
+
+    acc, count = jax.lax.fori_loop(
+        0, k, body,
+        (jnp.zeros_like(scratch[0]), jnp.float32(0.0)))
+    if combiner == "mean":
+        acc = acc / jnp.maximum(count, 1.0)
+    out_ref[:] = acc[None, :]
+
+
+def fused_gather_pool_pallas(table: jax.Array, ids: jax.Array,
+                             combiner: str = "sum",
+                             interpret: bool = False) -> jax.Array:
+    """table [V, D] (HBM-resident), ids [B, K] int32 (−1 pad) → [B, D]."""
+    b, k = ids.shape
+    v, d = table.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,             # ids
+        grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # table in HBM
+        out_specs=pl.BlockSpec((1, d), lambda i, ids: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, k=k, combiner=combiner),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, d), jnp.float32),
+        interpret=interpret,
+    )(ids, table)
+
+
+def fused_gather_pool_jnp(table, ids, combiner: str = "sum"):
+    safe = jnp.maximum(ids, 0)
+    emb = jnp.take(table, safe, axis=0)
+    valid = (ids >= 0).astype(table.dtype)
+    pooled = jnp.sum(emb * valid[..., None], axis=1)
+    if combiner == "mean":
+        pooled = pooled / jnp.maximum(
+            jnp.sum(valid, axis=1, keepdims=True), 1.0)
+    return pooled
+
+
+def fused_gather_pool(table, ids, combiner: str = "sum", *,
+                      min_k_for_pallas: int = 64, interpret: bool = False):
+    """Auto-routed fused gather+pool over the K (multi-hot) axis."""
+    if ids.shape[1] >= min_k_for_pallas or interpret:
+        return fused_gather_pool_pallas(table, ids, combiner,
+                                        interpret=interpret)
+    return fused_gather_pool_jnp(table, ids, combiner)

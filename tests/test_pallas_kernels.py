@@ -1,0 +1,66 @@
+"""Pallas kernel correctness vs jnp reference, in interpreter mode on CPU
+(the compiled path is exercised on the real TPU by bench/verify runs)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from goctr_tpu.ops.pallas.din_attention import (
+    din_attention_pool_jnp, din_attention_pool_pallas,
+)
+from goctr_tpu.ops.pallas.embedding_lookup import (
+    fused_gather_pool_jnp, fused_gather_pool_pallas,
+)
+
+
+def test_din_attention_pallas_matches_jnp(rng):
+    b, t, d = 16, 256, 16
+    beh = jnp.asarray(rng.normal(0, 1, (b, t, d)).astype(np.float32))
+    item = jnp.asarray(rng.normal(0, 1, (b, d)).astype(np.float32))
+    att0 = jnp.asarray(rng.normal(1, 0.1, t).astype(np.float32))
+    mask = jnp.asarray((rng.random((b, t)) > 0.3).astype(np.float32))
+    want = din_attention_pool_jnp(beh, item, att0, mask)
+    got = din_attention_pool_pallas(beh, item, att0, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_din_attention_multiple_t_tiles(rng):
+    b, t, d = 8, 384, 8    # 3 tiles of 128
+    beh = jnp.asarray(rng.normal(0, 1, (b, t, d)).astype(np.float32))
+    item = jnp.asarray(rng.normal(0, 1, (b, d)).astype(np.float32))
+    att0 = jnp.ones(t, jnp.float32)
+    want = din_attention_pool_jnp(beh, item, att0)
+    got = din_attention_pool_pallas(beh, item, att0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_din_attention_matches_model_semantics(rng):
+    """Kernel (all-valid mask) == the DIN model's mean-pool of gated
+    behaviors (din.go:231-298)."""
+    from goctr_tpu.ops.activations import cosine_similarity
+    b, t, d = 4, 256, 8
+    beh = jnp.asarray(rng.normal(0, 1, (b, t, d)).astype(np.float32))
+    item = jnp.asarray(rng.normal(0, 1, (b, d)).astype(np.float32))
+    att0 = jnp.ones(t, jnp.float32)
+    weight = (cosine_similarity(beh, item[:, None, :]) + 1.0) * 0.5
+    gate = jax.nn.sigmoid(weight * att0)
+    want = jnp.mean(beh * gate[..., None], axis=1)
+    got = din_attention_pool_pallas(beh, item, att0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("combiner", ["sum", "mean"])
+def test_fused_gather_pool_matches_take(rng, combiner):
+    v, d, b, k = 500, 16, 8, 64
+    table = jnp.asarray(rng.normal(0, 1, (v, d)).astype(np.float32))
+    ids = rng.integers(0, v, (b, k)).astype(np.int32)
+    ids[0, 5:] = -1          # padding
+    ids[3, :] = -1           # fully padded row
+    ids = jnp.asarray(ids)
+    want = fused_gather_pool_jnp(table, ids, combiner)
+    got = fused_gather_pool_pallas(table, ids, combiner, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
