@@ -96,6 +96,61 @@ class MovielensRec:
                           np.float32)
         return np.concatenate([head, gt])
 
+    # batched fetch used by the vectorized serving path (one SQL IN query
+    # per unique-id set instead of a query per row)
+    def get_item_features_batch(self, ctx: Context,
+                                item_ids: list[int]) -> dict:
+        out: dict[int, np.ndarray] = {}
+        for chunk_start in range(0, len(item_ids), 500):
+            chunk = item_ids[chunk_start:chunk_start + 500]
+            ph = ",".join("?" * len(chunk))
+            rows = self.db.execute(
+                f"SELECT movieId, title, genres FROM movies "
+                f"WHERE movieId IN ({ph})", chunk).fetchall()
+            for item_id, title, genres in rows:
+                out[int(item_id)] = self._item_vec(int(item_id), title,
+                                                   genres)
+        return out
+
+    def _item_vec(self, item_id: int, title: str, genres: str) -> np.ndarray:
+        m = _YEAR_RE.search(title or "")
+        year = int(m.group(1)) if m else 0
+        gt = np.zeros(50, np.float32)
+        for i, g in enumerate((genres or "").split("|")[:5]):
+            gt[i * 10:(i + 1) * 10] = genre_feature(g)
+        avg_r, cnt_r = 0.0, 0.0
+        mr = self.m_rating_map.get(item_id)
+        if mr:
+            avg_r = mr[0] / 5.0
+            cnt_r = math.log2(mr[1]) if mr[1] > 0 else 0.0
+        return np.concatenate([gt, np.asarray(
+            [(year - 1990) / 20.0, avg_r, cnt_r], np.float32)])
+
+    def get_user_features_batch(self, ctx: Context,
+                                user_ids: list[int]) -> dict:
+        table = ("user_feature_train" if ctx.stage == Stage.TRAIN
+                 else "user_feature_test")
+        out: dict[int, np.ndarray] = {}
+        for chunk_start in range(0, len(user_ids), 500):
+            chunk = user_ids[chunk_start:chunk_start + 500]
+            ph = ",".join("?" * len(chunk))
+            rows = self.db.execute(
+                f"SELECT userId, ugenres, avgRating, cntRating FROM {table} "
+                f"WHERE userId IN ({ph})", chunk).fetchall()
+            for user_id, ugenres, avg_r, cnt_r in rows:
+                out[int(user_id)] = self._user_vec(ugenres, avg_r, cnt_r)
+        return out
+
+    def _user_vec(self, ugenres, avg_r, cnt_r) -> np.ndarray:
+        genre_list = [g for g in re.split(r"[|,]", ugenres or "") if g]
+        top5 = top_n_occurrences(genre_list, 5)
+        gt = np.zeros(50, np.float32)
+        for i, (g, _) in enumerate(top5):
+            gt[i * 10:(i + 1) * 10] = genre_feature(g)
+        head = np.asarray([(avg_r or 0.0) / 5.0, (cnt_r or 0.0) / 100.0],
+                          np.float32)
+        return np.concatenate([head, gt])
+
     def sample_generator(self, ctx: Context) -> Iterator[Sample]:
         cur = self.db.execute(
             "SELECT userId, movieId, rating, timestamp FROM ratings_train "

@@ -96,13 +96,19 @@ def youtube_dnn_from_json(data: str) -> tuple[YoutubeDNN, dict]:
 
 # -------------------------------------------------------- full checkpoints ---
 
-_MODEL_TYPES = {"DIN": DIN, "YoutubeDNN": YoutubeDNN}
+def _model_types() -> dict:
+    from goctr_tpu.models.mlp_tower import MLPTower
+    return {"DIN": DIN, "YoutubeDNN": YoutubeDNN, "MLPTower": MLPTower}
 
 
 def save_checkpoint(path: str | Path, ranker: TrainedRanker,
-                    opt_state=None) -> None:
-    """Full npz+json checkpoint: model config, SampleInfo, params (and
-    optionally optimizer state) — restores to a ready-to-predict ranker."""
+                    trainer_config=None) -> None:
+    """Full npz+json checkpoint: model config, SampleInfo, params, loss
+    curve, and — when present — optimizer state + trainer config, enabling
+    true mid-training resume (reference snapshots are weights-only,
+    din.go:62-147)."""
+    import jax
+
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     model = ranker.model
@@ -112,16 +118,22 @@ def save_checkpoint(path: str | Path, ranker: TrainedRanker,
         "sample_info": dataclasses.asdict(ranker.info),
         "behavior_len": ranker.behavior_len,
         "loss_curve": ranker.loss_curve,
+        "trainer_config": (dataclasses.asdict(trainer_config)
+                           if trainer_config is not None else None),
     }
     (path / "meta.json").write_text(json.dumps(meta))
     flat = _flatten_params(ranker.params)
     np.savez(path / "params.npz", **flat)
+    if ranker.opt_state is not None:
+        leaves = jax.tree.leaves(ranker.opt_state)
+        np.savez(path / "opt_state.npz",
+                 **{str(i): np.asarray(l) for i, l in enumerate(leaves)})
 
 
 def load_checkpoint(path: str | Path) -> TrainedRanker:
     path = Path(path)
     meta = json.loads((path / "meta.json").read_text())
-    cls = _MODEL_TYPES[meta["model_type"]]
+    cls = _model_types()[meta["model_type"]]
     cfg = dict(meta["model_config"])
     for k in ("hidden", "dropout_rates"):
         if k in cfg and isinstance(cfg[k], list):
@@ -131,9 +143,31 @@ def load_checkpoint(path: str | Path) -> TrainedRanker:
         params = _unflatten_params(dict(z.items()))
     si = meta["sample_info"]
     info = SampleInfo(**{k: tuple(v) for k, v in si.items()})
+
+    opt_state = None
+    opt_path = path / "opt_state.npz"
+    tc = meta.get("trainer_config")
+    if opt_path.exists() and tc is not None:
+        import jax
+
+        from goctr_tpu.models.trainer import TrainerConfig
+        from goctr_tpu.optim.optimizers import make_solver
+        from goctr_tpu.optim.schedules import make_schedule
+        cfg = TrainerConfig(**tc)
+        solver = make_solver(
+            cfg.solver, make_schedule(cfg.lr_schedule, cfg.lr, cfg.power_t),
+            l2=cfg.l2, weight_decay=cfg.weight_decay, momentum=cfg.momentum,
+            beta1=cfg.beta1, beta2=cfg.beta2, epsilon=cfg.epsilon)
+        template = solver.init(params)
+        treedef = jax.tree.structure(template)
+        with np.load(opt_path) as z:
+            leaves = [jnp.asarray(z[str(i)]) for i in range(len(z.files))]
+        opt_state = jax.tree.unflatten(treedef, leaves)
+
     return TrainedRanker(
         model=model, params=params, info=info,
         behavior_len=meta["behavior_len"], loss_curve=meta["loss_curve"],
+        opt_state=opt_state,
         _predict_fn=_make_predict_fn(model, info, meta["behavior_len"]))
 
 

@@ -61,6 +61,7 @@ class TrainedRanker:
     behavior_len: int
     loss_curve: list[float]
     epoch_times: list[float] = dataclasses.field(default_factory=list)
+    opt_state: object = dataclasses.field(default=None, repr=False)
     _predict_fn: Callable = dataclasses.field(default=None, repr=False)
 
     def predict(self, x: np.ndarray, batch_size: int = 8192) -> np.ndarray:
@@ -112,7 +113,12 @@ def _make_predict_fn(model: RankModel, info: SampleInfo, behavior_len: int):
 
 
 def train_ranker(model: RankModel, sample: TrainSample,
-                 cfg: Optional[TrainerConfig] = None) -> TrainedRanker:
+                 cfg: Optional[TrainerConfig] = None,
+                 resume_from: Optional[TrainedRanker] = None
+                 ) -> TrainedRanker:
+    """Train (or resume: pass a prior TrainedRanker carrying params +
+    optimizer state — true mid-training resume, which the reference's
+    weights-only JSON snapshots cannot do, SURVEY.md §5)."""
     cfg = cfg or TrainerConfig()
     n, width = sample.x.shape
     bs = min(cfg.batch_size, n)
@@ -135,8 +141,13 @@ def train_ranker(model: RankModel, sample: TrainSample,
 
     key = jax.random.key(cfg.seed)
     key, init_key = jax.random.split(key)
-    params = model.init_params(init_key)
-    opt_state = solver.init(params)
+    if resume_from is not None:
+        params = resume_from.params
+        opt_state = resume_from.opt_state or solver.init(params)
+        key = jax.random.fold_in(key, len(resume_from.loss_curve))
+    else:
+        params = model.init_params(init_key)
+        opt_state = solver.init(params)
 
     info, behavior_len = sample.info, model.behavior_len
 
@@ -203,7 +214,9 @@ def train_ranker(model: RankModel, sample: TrainSample,
                  len(loss_curve), time.perf_counter() - t0,
                  len(loss_curve) * n / max(time.perf_counter() - t0, 1e-9))
 
+    if resume_from is not None:
+        loss_curve = resume_from.loss_curve + loss_curve
     return TrainedRanker(
         model=model, params=params, info=info, behavior_len=behavior_len,
-        loss_curve=loss_curve, epoch_times=epoch_times,
+        loss_curve=loss_curve, epoch_times=epoch_times, opt_state=opt_state,
         _predict_fn=_make_predict_fn(model, info, behavior_len))

@@ -254,7 +254,13 @@ def Train(ctx: Context, rec_sys, fitter) -> Predictor:
 def BatchPredict(ctx: Context, predictor: Predictor,
                  sample_keys: list[Sample]) -> np.ndarray:
     """Scores [n] (rcmd.go:277-337): PredictStage feature sourcing, PreRank
-    hook, zero-fill for rows whose features fail after the first."""
+    hook, zero-fill for rows whose features fail after the first.
+
+    Assembly is vectorized: features are fetched once per unique user/item
+    (batch SQL when the provider implements get_*_features_batch), behavior
+    embeddings resolve through one indexed gather, and rows materialize via
+    the native gather-concat kernel — replacing the reference's per-sample
+    loop (rcmd.go:294-324)."""
     ctx = ctx.with_stage(Stage.PREDICT)
     rec_sys = predictor.rec_sys
     if hasattr(rec_sys, "pre_rank"):
@@ -262,21 +268,106 @@ def BatchPredict(ctx: Context, predictor: Predictor,
 
     state = getattr(predictor, "_state", None) or _State()
     state.item_embedding_map = predictor.item_embedding_map
-
-    rows = []
-    width = None
-    for i, key in enumerate(sample_keys):
-        try:
-            vec, _, _ = get_sample_vector(ctx, state, rec_sys, key)
-            width = vec.shape[0]
-        except Exception as e:
-            if i == 0:
-                raise
-            log.debug("zero-filling failed row %d: %s", i, e)
-            vec = np.zeros(width, np.float32)
-        rows.append(vec)
-    x = np.stack(rows)
+    x = _assemble_batch(ctx, state, rec_sys, sample_keys)
     return np.asarray(predictor.model.predict(x)).ravel()
+
+
+def _fetch_features_unique(ctx, state: _State, rec_sys, ids: list[int],
+                           kind: str) -> dict[int, np.ndarray]:
+    """id → feature row for unique ids, preferring the provider's batch
+    method, caching every hit."""
+    cache = state.user_cache if kind == "user" else state.item_cache
+    single = getattr(rec_sys, f"get_{kind}_feature")
+    batch = getattr(rec_sys, f"get_{kind}_features_batch", None)
+    out: dict[int, np.ndarray] = {}
+    missing: list[int] = []
+    for i in ids:
+        hit = cache._d.get(i)
+        if hit is not None:
+            out[i] = hit
+        else:
+            missing.append(i)
+    if missing and batch is not None:
+        fetched = batch(ctx, missing)   # id → row (absent = failed)
+        for i, row in fetched.items():
+            row = np.asarray(row, dtype=np.float32)
+            out[i] = row
+            cache.fetch(i, lambda r=row: r)
+        missing = [i for i in missing if i not in fetched]
+    for i in missing:
+        try:
+            row = np.asarray(single(ctx, i), dtype=np.float32)
+        except Exception as e:
+            log.debug("%s feature fetch failed for %s: %s", kind, i, e)
+            continue
+        out[i] = row
+        cache.fetch(i, lambda r=row: r)
+    return out
+
+
+def _assemble_batch(ctx: Context, state: _State, rec_sys,
+                    keys: list[Sample]) -> np.ndarray:
+    from goctr_tpu.native.hashing import gather_rows_concat
+
+    users = _fetch_features_unique(
+        ctx, state, rec_sys, list({k.user_id for k in keys}), "user")
+    items = _fetch_features_unique(
+        ctx, state, rec_sys, list({k.item_id for k in keys}), "item")
+    if keys and keys[0].user_id not in users:
+        raise KeyError(f"userId {keys[0].user_id} not found")
+    if keys and keys[0].item_id not in items:
+        raise KeyError(f"itemId {keys[0].item_id} not found")
+
+    uw = next(iter(users.values())).shape[0] if users else 0
+    iw = next(iter(items.values())).shape[0] if items else 0
+    n = len(keys)
+
+    # dense per-unique matrices + index vectors (row 0 of each = zeros,
+    # used by failed keys → reference zero-fill semantics rcmd.go:300-307)
+    u_mat = np.zeros((len(users) + 1, uw), np.float32)
+    u_idx_of = {}
+    for r, (i, row) in enumerate(users.items(), start=1):
+        u_mat[r] = row
+        u_idx_of[i] = r
+    i_mat = np.zeros((len(items) + 1, iw), np.float32)
+    i_idx_of = {}
+    for r, (i, row) in enumerate(items.items(), start=1):
+        i_mat[r] = row
+        i_idx_of[i] = r
+    u_idx = np.asarray([u_idx_of.get(k.user_id, 0) for k in keys], np.int64)
+    i_idx = np.asarray([i_idx_of.get(k.item_id, 0) for k in keys], np.int64)
+
+    emb_map = state.item_embedding_map
+    ub_flat = np.zeros((n, ITEM_EMB_DIM * USER_BEHAVIOR_LEN), np.float32)
+    item_emb = np.zeros((n, ITEM_EMB_DIM), np.float32)
+    if emb_map:
+        words, emb_mat = emb_map.as_arrays()
+        emb_mat = np.concatenate(
+            [np.zeros((1, emb_mat.shape[1]), np.float32), emb_mat])
+        row_of = {w: r for r, w in enumerate(words, start=1)}
+        item_emb_idx = np.asarray(
+            [row_of.get(str(k.item_id), 0) for k in keys], np.int64)
+        item_emb = emb_mat[item_emb_idx]
+        if hasattr(rec_sys, "get_user_behavior"):
+            beh_idx = np.zeros((n, USER_BEHAVIOR_LEN), np.int64)
+            seq_cache: dict[tuple, list] = {}
+            for r, k in enumerate(keys):
+                ck = (k.user_id, k.timestamp)
+                seq = seq_cache.get(ck)
+                if seq is None:
+                    seq = rec_sys.get_user_behavior(
+                        ctx, k.user_id, USER_BEHAVIOR_LEN, -1, k.timestamp)
+                    seq_cache[ck] = seq
+                for j, item_id in enumerate(seq[:USER_BEHAVIOR_LEN]):
+                    beh_idx[r, j] = row_of.get(str(item_id), 0)
+            ub_flat = emb_mat[beh_idx].reshape(n, -1)
+
+    return gather_rows_concat([
+        (u_mat, u_idx),
+        (ub_flat, np.arange(n, dtype=np.int64)),
+        (item_emb, np.arange(n, dtype=np.int64)),
+        (i_mat, i_idx),
+    ])
 
 
 def Rank(ctx: Context, predictor: Predictor, user_id: int,
