@@ -19,6 +19,9 @@ BASELINE_EXAMPLES_PER_S = 79_948 / 28.0
 def main() -> None:
     import jax
 
+    from goctr_tpu.core.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
     from goctr_tpu.models import DIN, SampleInfo, TrainSample, train_ranker
     from goctr_tpu.models.trainer import TrainerConfig
 

@@ -48,3 +48,23 @@ def accuracy(prediction, y, threshold: float = 0.5) -> float:
 def roc_auc(pred, y) -> float:
     """RocAuc32 util.go:131-148."""
     return _metrics.roc_auc_score(y, pred)
+
+
+def parallelize(n_jobs: int, n_items: int, fn) -> None:
+    """Host-side row-range sharding (reference base.Parallelize
+    nn/base/parallel.go:9-33): fn(worker_idx, start, end) over n_items split
+    across n_jobs threads. Device math never needs this (jit/vmap/shard_map
+    cover it); it exists for IO-bound host work like feature fetches."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_jobs = max(1, min(n_jobs, n_items))
+    per = -(-n_items // n_jobs)
+    with ThreadPoolExecutor(max_workers=n_jobs) as pool:
+        futs = []
+        for w in range(n_jobs):
+            start, end = w * per, min((w + 1) * per, n_items)
+            if start >= end:
+                break
+            futs.append(pool.submit(fn, w, start, end))
+        for f in futs:
+            f.result()
