@@ -63,11 +63,21 @@ def _local_gather(local_rows: jax.Array, ids: jax.Array,
     return jax.lax.psum(emb, MODEL_AXIS)
 
 
+def _single_device(mesh: Mesh) -> bool:
+    return mesh.shape[MODEL_AXIS] == 1 and mesh.shape[DATA_AXIS] == 1
+
+
 def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh) -> jax.Array:
     """ids [B, ...] int32 → embeddings [B, ..., D], batch-sharded over data.
 
-    Negative ids (padding) return zero vectors.
+    Negative ids (padding) return zero vectors. On a 1×1 mesh this is a
+    plain gather — no shard_map (which some single-chip PJRT backends,
+    including this environment's axon relay, cannot compile).
     """
+    if _single_device(mesh):
+        emb = jnp.take(table, jnp.maximum(ids, 0), axis=0)
+        return jnp.where(ids[..., None] < 0, 0.0, emb)
+
     n_shards = mesh.shape[MODEL_AXIS]
 
     @partial(jax.shard_map, mesh=mesh,
@@ -90,6 +100,15 @@ def sharded_pooled_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
     [B/d, K, D] — a K× ICI traffic cut; this is the multi-hot fast path
     (reference StringSplitMultiHot semantics at embedding scale).
     """
+    if _single_device(mesh):
+        valid = (ids >= 0).astype(table.dtype)
+        emb = jnp.take(table, jnp.maximum(ids, 0), axis=0)
+        pooled = jnp.sum(emb * valid[..., None], axis=1)
+        if combiner == "mean":
+            pooled = pooled / jnp.maximum(
+                jnp.sum(valid, axis=1, keepdims=True), 1.0)
+        return pooled
+
     n_shards = mesh.shape[MODEL_AXIS]
 
     @partial(jax.shard_map, mesh=mesh,

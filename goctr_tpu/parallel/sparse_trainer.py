@@ -1,0 +1,150 @@
+"""End-to-end training of SparseCTR: raw-id batches → sharded-table
+gradients, no pre-trained embedding stage.
+
+This is the workload the reference architecture cannot express (its item
+embeddings are a frozen pre-trained Go map, rcmd.go:501-531): the [V, D]
+item table lives row-sharded across the `model` mesh axis and learns jointly
+with the dense tower. Per epoch, host-shuffled minibatches are device_put
+with their NamedShardings and run through the jitted sharded step — the
+input pipeline's host→device copies overlap compute via async dispatch.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+from jax.sharding import Mesh
+
+from goctr_tpu.optim.optimizers import make_solver
+from goctr_tpu.optim.schedules import make_schedule
+from goctr_tpu.models.trainer import TrainerConfig
+from goctr_tpu.parallel.sparse_ctr import SparseBatch, SparseCTR
+from goctr_tpu.parallel.train import (
+    batch_shardings, make_sharded_predict, make_sharded_train_step,
+    param_shardings,
+)
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class SparseSample:
+    """Raw-feature training set (the id-native analogue of TrainSample)."""
+    user_profile: np.ndarray   # [N, U] float32
+    behavior_ids: np.ndarray   # [N, T] int32, -1 padded
+    item_ids: np.ndarray       # [N] int32
+    ctx: np.ndarray            # [N, C] float32
+    labels: np.ndarray         # [N] float32
+
+    @property
+    def rows(self) -> int:
+        return self.item_ids.shape[0]
+
+
+@dataclasses.dataclass
+class TrainedSparseRanker:
+    model: SparseCTR
+    params: dict
+    mesh: Mesh
+    loss_curve: list[float]
+    epoch_times: list[float]
+    opt_state: object = dataclasses.field(default=None, repr=False)
+
+    def predict(self, sample: SparseSample, batch_size: int = 8192
+                ) -> np.ndarray:
+        fn = make_sharded_predict(self.model, self.mesh)
+        bsh = batch_shardings(self.mesh)
+        n = sample.rows
+        d = self.mesh.shape["data"]
+        bs = max(d, (min(batch_size, n) // d) * d)
+        out = np.empty(n, np.float32)
+        for s in range(0, n, bs):
+            e = min(s + bs, n)
+            pad = bs - (e - s)
+            sl = slice(s, e)
+            batch = _put_batch(sample, sl, pad, bsh)
+            scores = np.asarray(fn(self.params, batch))
+            out[s:e] = scores[:e - s]
+        return out
+
+
+def _put_batch(sample: SparseSample, sl: slice, pad: int, bsh) -> SparseBatch:
+    def p(arr, sharding, fill=0):
+        a = arr[sl]
+        if pad:
+            shape = (pad,) + a.shape[1:]
+            a = np.concatenate([a, np.full(shape, fill, a.dtype)])
+        return jax.device_put(np.ascontiguousarray(a), sharding)
+
+    return SparseBatch(
+        user_profile=p(sample.user_profile, bsh.user_profile),
+        behavior_ids=p(sample.behavior_ids, bsh.behavior_ids, fill=-1),
+        item_ids=p(sample.item_ids, bsh.item_ids),
+        ctx=p(sample.ctx, bsh.ctx),
+        labels=p(sample.labels, bsh.labels),
+    )
+
+
+def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
+                 cfg: Optional[TrainerConfig] = None) -> TrainedSparseRanker:
+    cfg = cfg or TrainerConfig()
+    n = sample.rows
+    d = mesh.shape["data"]
+    bs = max(d, (min(cfg.batch_size, n) // d) * d)   # divisible by data axis
+
+    schedule = make_schedule(cfg.lr_schedule, cfg.lr, cfg.power_t)
+    solver = make_solver(
+        cfg.solver, schedule, l2=cfg.l2, weight_decay=cfg.weight_decay,
+        momentum=cfg.momentum, beta1=cfg.beta1, beta2=cfg.beta2,
+        epsilon=cfg.epsilon)
+    params = model.init_params(jax.random.key(cfg.seed), mesh)
+    opt_state = solver.init(params)
+    psh = param_shardings(params, mesh)
+    params = jax.device_put(params, psh)
+    opt_state = jax.device_put(opt_state, param_shardings(opt_state, mesh))
+    step = make_sharded_train_step(model, solver, mesh)
+    bsh = batch_shardings(mesh)
+
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.key(cfg.seed + 1)
+    best, no_improve = float("inf"), 0
+    loss_curve: list[float] = []
+    epoch_times: list[float] = []
+    n_batches = -(-n // bs)
+    for epoch in range(cfg.epochs):
+        te = time.perf_counter()
+        order = rng.permutation(n) if cfg.shuffle else np.arange(n)
+        tot = 0.0
+        for b in range(n_batches):
+            idx = order[b * bs:(b + 1) * bs]
+            pad = bs - idx.size
+            sub = SparseSample(
+                user_profile=sample.user_profile[idx],
+                behavior_ids=sample.behavior_ids[idx],
+                item_ids=sample.item_ids[idx],
+                ctx=sample.ctx[idx], labels=sample.labels[idx])
+            batch = _put_batch(sub, slice(None), pad, bsh)
+            key, k = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, batch, k)
+            tot += float(loss) * idx.size
+        cost = tot / n
+        loss_curve.append(cost)
+        epoch_times.append(time.perf_counter() - te)
+        if cost < best - cfg.tol:
+            best, no_improve = cost, 0
+        else:
+            no_improve += 1
+        if cfg.verbose:
+            log.info("epoch %d | cost %.6f | %.2fs", epoch, cost,
+                     epoch_times[-1])
+        if cfg.early_stop and no_improve >= cfg.early_stop:
+            break
+
+    return TrainedSparseRanker(model=model, params=params, mesh=mesh,
+                               loss_curve=loss_curve,
+                               epoch_times=epoch_times, opt_state=opt_state)

@@ -21,6 +21,13 @@ from goctr_tpu.core.meshes import DATA_AXIS, MODEL_AXIS
 from goctr_tpu.parallel.sparse_ctr import SparseBatch, SparseCTR
 
 
+def _on_axon_relay() -> bool:
+    """This dev environment's tunneled TPU registers as JAX_PLATFORMS=axon
+    (device.platform still reports 'tpu')."""
+    import os
+    return "axon" in os.environ.get("JAX_PLATFORMS", "").lower()
+
+
 def param_shardings(params, mesh: Mesh):
     """Tables row-sharded over model; everything else replicated."""
     def one(path, leaf):
@@ -52,7 +59,12 @@ def make_sharded_train_step(model: SparseCTR, solver: optax.GradientTransformati
                   jnp.log1p(jnp.exp(-jnp.abs(logits))))
         return jnp.mean(losses)
 
-    @partial(jax.jit, donate_argnums=(0, 1))
+    # donation of NamedSharding-placed inputs hangs this environment's axon
+    # relay compiler (plain-array donation is fine); donate everywhere else —
+    # it keeps the table update in-place, halving HBM churn per step
+    donate = () if _on_axon_relay() else (0, 1)
+
+    @partial(jax.jit, donate_argnums=donate)
     def step(params, opt_state, batch: SparseBatch, key):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
         updates, opt_state = solver.update(grads, opt_state, params)
