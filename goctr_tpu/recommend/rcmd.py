@@ -174,10 +174,18 @@ def get_sample_vector(ctx: Context, state: _State, rec_sys,
 
 def get_sample(rec_sys, ctx: Context,
                state: Optional[_State] = None) -> TrainSample:
-    """Assemble the whole training matrix (GetSample rcmd.go:339-460):
-    threaded feature fetch (IO-bound SQL), single accumulation, SampleInfo
-    ranges derived exactly as the reference does."""
+    """Assemble the whole training matrix (GetSample rcmd.go:339-460).
+
+    Fast path: providers exposing get_user_features_batch /
+    get_item_features_batch get vectorized assembly (unique-id batch SQL +
+    native gather-concat, dropping rows with missing features like the
+    reference's per-sample skip, rcmd.go:385-388). Otherwise: threaded
+    per-sample fetch mirroring the 16-goroutine fan-out.
+    """
     state = state or _State()
+    if (hasattr(rec_sys, "get_user_features_batch")
+            and hasattr(rec_sys, "get_item_features_batch")):
+        return _get_sample_vectorized(rec_sys, ctx, state)
     samples: Iterator[Sample] = rec_sys.sample_generator(ctx)
 
     rows: list[np.ndarray] = []
@@ -219,6 +227,92 @@ def get_sample(rec_sys, ctx: Context,
         ctx_feature_range=(it1, it1 + i_width),  # raw item feats → ctx
     )
     return TrainSample(x=x, y=y, info=info)
+
+
+def _get_sample_vectorized(rec_sys, ctx: Context,
+                           state: _State) -> TrainSample:
+    keys = list(rec_sys.sample_generator(ctx))
+    if not keys:
+        raise ValueError("no samples generated")
+    users = _fetch_features_unique(
+        ctx, state, rec_sys, list({k.user_id for k in keys}), "user")
+    items = _fetch_features_unique(
+        ctx, state, rec_sys, list({k.item_id for k in keys}), "item")
+    # training drops rows whose features are missing (rcmd.go:385-388)
+    kept = [k for k in keys if k.user_id in users and k.item_id in items]
+    dropped = len(keys) - len(kept)
+    if dropped:
+        log.debug("dropped %d samples with missing features", dropped)
+    if not kept:
+        raise ValueError("no samples assembled")
+    x = _assemble_rows(ctx, state, rec_sys, kept, users, items)
+    y = np.asarray([k.label for k in kept], dtype=np.float32)
+    u_width = next(iter(users.values())).shape[0]
+    i_width = next(iter(items.values())).shape[0]
+    ub0 = u_width
+    ub1 = ub0 + ITEM_EMB_DIM * USER_BEHAVIOR_LEN
+    it1 = ub1 + ITEM_EMB_DIM
+    info = SampleInfo(
+        user_profile_range=(0, u_width),
+        user_behavior_range=(ub0, ub1),
+        item_feature_range=(ub1, it1),
+        ctx_feature_range=(it1, it1 + i_width),
+    )
+    return TrainSample(x=x, y=y, info=info)
+
+
+def _assemble_rows(ctx, state, rec_sys, keys, users, items) -> np.ndarray:
+    """Shared vectorized row materialization (used by training fast path
+    and BatchPredict; zero row 0 backs missing ids)."""
+    from goctr_tpu.native.hashing import gather_rows_concat
+
+    uw = next(iter(users.values())).shape[0] if users else 0
+    iw = next(iter(items.values())).shape[0] if items else 0
+    n = len(keys)
+    u_mat = np.zeros((len(users) + 1, uw), np.float32)
+    u_idx_of = {}
+    for r, (i, row) in enumerate(users.items(), start=1):
+        u_mat[r] = row
+        u_idx_of[i] = r
+    i_mat = np.zeros((len(items) + 1, iw), np.float32)
+    i_idx_of = {}
+    for r, (i, row) in enumerate(items.items(), start=1):
+        i_mat[r] = row
+        i_idx_of[i] = r
+    u_idx = np.asarray([u_idx_of.get(k.user_id, 0) for k in keys], np.int64)
+    i_idx = np.asarray([i_idx_of.get(k.item_id, 0) for k in keys], np.int64)
+
+    emb_map = state.item_embedding_map
+    ub_flat = np.zeros((n, ITEM_EMB_DIM * USER_BEHAVIOR_LEN), np.float32)
+    item_emb = np.zeros((n, ITEM_EMB_DIM), np.float32)
+    if emb_map:
+        words, emb_mat = emb_map.as_arrays()
+        emb_mat = np.concatenate(
+            [np.zeros((1, emb_mat.shape[1]), np.float32), emb_mat])
+        row_of = {w: r for r, w in enumerate(words, start=1)}
+        item_emb_idx = np.asarray(
+            [row_of.get(str(k.item_id), 0) for k in keys], np.int64)
+        item_emb = emb_mat[item_emb_idx]
+        if hasattr(rec_sys, "get_user_behavior"):
+            beh_idx = np.zeros((n, USER_BEHAVIOR_LEN), np.int64)
+            seq_cache: dict[tuple, list] = {}
+            for r, k in enumerate(keys):
+                ck = (k.user_id, k.timestamp)
+                seq = seq_cache.get(ck)
+                if seq is None:
+                    seq = rec_sys.get_user_behavior(
+                        ctx, k.user_id, USER_BEHAVIOR_LEN, -1, k.timestamp)
+                    seq_cache[ck] = seq
+                for j, item_id in enumerate(seq[:USER_BEHAVIOR_LEN]):
+                    beh_idx[r, j] = row_of.get(str(item_id), 0)
+            ub_flat = emb_mat[beh_idx].reshape(n, -1)
+
+    return gather_rows_concat([
+        (u_mat, u_idx),
+        (ub_flat, np.arange(n, dtype=np.int64)),
+        (item_emb, np.arange(n, dtype=np.int64)),
+        (i_mat, i_idx),
+    ])
 
 
 # ------------------------------------------------------------ entrypoints ---
@@ -307,8 +401,6 @@ def _fetch_features_unique(ctx, state: _State, rec_sys, ids: list[int],
 
 def _assemble_batch(ctx: Context, state: _State, rec_sys,
                     keys: list[Sample]) -> np.ndarray:
-    from goctr_tpu.native.hashing import gather_rows_concat
-
     users = _fetch_features_unique(
         ctx, state, rec_sys, list({k.user_id for k in keys}), "user")
     items = _fetch_features_unique(
@@ -317,57 +409,9 @@ def _assemble_batch(ctx: Context, state: _State, rec_sys,
         raise KeyError(f"userId {keys[0].user_id} not found")
     if keys and keys[0].item_id not in items:
         raise KeyError(f"itemId {keys[0].item_id} not found")
-
-    uw = next(iter(users.values())).shape[0] if users else 0
-    iw = next(iter(items.values())).shape[0] if items else 0
-    n = len(keys)
-
-    # dense per-unique matrices + index vectors (row 0 of each = zeros,
-    # used by failed keys → reference zero-fill semantics rcmd.go:300-307)
-    u_mat = np.zeros((len(users) + 1, uw), np.float32)
-    u_idx_of = {}
-    for r, (i, row) in enumerate(users.items(), start=1):
-        u_mat[r] = row
-        u_idx_of[i] = r
-    i_mat = np.zeros((len(items) + 1, iw), np.float32)
-    i_idx_of = {}
-    for r, (i, row) in enumerate(items.items(), start=1):
-        i_mat[r] = row
-        i_idx_of[i] = r
-    u_idx = np.asarray([u_idx_of.get(k.user_id, 0) for k in keys], np.int64)
-    i_idx = np.asarray([i_idx_of.get(k.item_id, 0) for k in keys], np.int64)
-
-    emb_map = state.item_embedding_map
-    ub_flat = np.zeros((n, ITEM_EMB_DIM * USER_BEHAVIOR_LEN), np.float32)
-    item_emb = np.zeros((n, ITEM_EMB_DIM), np.float32)
-    if emb_map:
-        words, emb_mat = emb_map.as_arrays()
-        emb_mat = np.concatenate(
-            [np.zeros((1, emb_mat.shape[1]), np.float32), emb_mat])
-        row_of = {w: r for r, w in enumerate(words, start=1)}
-        item_emb_idx = np.asarray(
-            [row_of.get(str(k.item_id), 0) for k in keys], np.int64)
-        item_emb = emb_mat[item_emb_idx]
-        if hasattr(rec_sys, "get_user_behavior"):
-            beh_idx = np.zeros((n, USER_BEHAVIOR_LEN), np.int64)
-            seq_cache: dict[tuple, list] = {}
-            for r, k in enumerate(keys):
-                ck = (k.user_id, k.timestamp)
-                seq = seq_cache.get(ck)
-                if seq is None:
-                    seq = rec_sys.get_user_behavior(
-                        ctx, k.user_id, USER_BEHAVIOR_LEN, -1, k.timestamp)
-                    seq_cache[ck] = seq
-                for j, item_id in enumerate(seq[:USER_BEHAVIOR_LEN]):
-                    beh_idx[r, j] = row_of.get(str(item_id), 0)
-            ub_flat = emb_mat[beh_idx].reshape(n, -1)
-
-    return gather_rows_concat([
-        (u_mat, u_idx),
-        (ub_flat, np.arange(n, dtype=np.int64)),
-        (item_emb, np.arange(n, dtype=np.int64)),
-        (i_mat, i_idx),
-    ])
+    # rows with missing ids hit the zero row → reference zero-fill
+    # semantics (rcmd.go:300-307)
+    return _assemble_rows(ctx, state, rec_sys, keys, users, items)
 
 
 def Rank(ctx: Context, predictor: Predictor, user_id: int,
