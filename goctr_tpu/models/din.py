@@ -70,11 +70,18 @@ class DIN:
         profile, behaviors, item, ctx = blocks
         cd = self.compute_dtype
         behaviors = behaviors.astype(cd)              # [B, T, D]
-        item3 = item.astype(cd)[:, None, :]           # [B, 1, D]
 
-        weight = (cosine_similarity(behaviors, item3) + 1.0) * 0.5   # [B, T]
-        gate = jax.nn.sigmoid(weight * params["att0"].astype(cd))    # [B, T]
-        pooled = jnp.mean(behaviors * gate[..., None], axis=1)       # [B, D]
+        if self.behavior_len >= 256:
+            # long sequences stream through the blockwise Pallas kernel
+            # (no [B,T,*] HBM intermediates); tiny T stays on the XLA path
+            from goctr_tpu.ops.pallas.din_attention import din_attention_pool
+            pooled = din_attention_pool(
+                behaviors, item.astype(cd), params["att0"].astype(cd))
+        else:
+            item3 = item.astype(cd)[:, None, :]       # [B, 1, D]
+            weight = (cosine_similarity(behaviors, item3) + 1.0) * 0.5
+            gate = jax.nn.sigmoid(weight * params["att0"].astype(cd))
+            pooled = jnp.mean(behaviors * gate[..., None], axis=1)
 
         h = jnp.concatenate(
             [profile.astype(cd), pooled, item.astype(cd), ctx.astype(cd)],

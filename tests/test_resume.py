@@ -48,3 +48,16 @@ def test_resume_matches_uninterrupted_shape(tmp_path):
     half = train_ranker(MLPTower(in_dim=W, hidden=(16,)), sample, cfg5)
     resumed = train_ranker(half.model, sample, cfg5, resume_from=half)
     assert abs(resumed.loss_curve[-1] - straight.loss_curve[-1]) < 0.02
+
+
+def test_periodic_checkpointing(tmp_path):
+    sample = _sample(1000, seed=5)
+    cfg = TrainerConfig(batch_size=256, epochs=6, early_stop=0,
+                        checkpoint_every=2, checkpoint_dir=str(tmp_path / "auto"))
+    r = train_ranker(MLPTower(in_dim=W, hidden=(8,)), sample, cfg)
+    from goctr_tpu.models.io import load_checkpoint
+    snap = load_checkpoint(tmp_path / "auto")
+    # last periodic snapshot at epoch 6 == final state
+    assert len(snap.loss_curve) == 6
+    np.testing.assert_allclose(snap.predict(sample.x[:50]),
+                               r.predict(sample.x[:50]), rtol=1e-5)
