@@ -3,7 +3,8 @@
 The API/semantics counterpart of the reference's sklearn-port
 (nn/neural_network/basemlp64.go + multilayer_perceptron.go facade): packed
 MLP with bias, activations identity/logistic/tanh/relu, solvers
-sgd (momentum/nesterov) / adam / lbfgs, LR schedules constant / invscaling /
+sgd (momentum/nesterov) / adam / lbfgs / bfgs / cg (full-batch trio =
+gonum method registry, nn/base/optimizers.go:47-58), LR schedules constant / invscaling /
 adaptive (÷5 on plateau, basemlp64.go:826-841), L2 `alpha` scaled by
 n_samples (sklearn convention, backprop basemlp64.go:392-399), optional
 decoupled `weight_decay`, optional per-batch max-abs "batch_normalize"
@@ -13,7 +14,7 @@ a validation fraction, label binarization for multiclass
 (LabelBinarizer64 basemlp64.go:1277-1376), Glorot init (:458-479).
 
 Compute: one jitted epoch (lax.scan over minibatches) exactly like
-models.trainer; lbfgs runs full-batch via optax.value_and_grad_from_state.
+models.trainer; lbfgs/bfgs/cg run full-batch via optim.fullbatch_minimize.
 """
 from __future__ import annotations
 
@@ -28,6 +29,7 @@ import numpy as np
 import optax
 
 from goctr_tpu.ops.activations import ACTIVATIONS
+from goctr_tpu.optim.optimizers import FULLBATCH_SOLVERS, fullbatch_minimize
 
 
 def _glorot_bounds(fan_in: int, fan_out: int, activation: str) -> float:
@@ -147,12 +149,12 @@ class MLPClassifier:
             params["b"].append(jax.random.uniform(
                 k2, (dims[i + 1],), jnp.float32, -bound, bound))
 
-        if self.solver == "lbfgs":
-            self._fit_lbfgs(params, X, yb)
+        if self.solver in FULLBATCH_SOLVERS:
+            self._fit_fullbatch(params, X, yb)
         else:
             self._fit_stochastic(params, X, yb, key)
 
-        if self.early_stopping and self.solver != "lbfgs":
+        if self.early_stopping and self.solver not in FULLBATCH_SOLVERS:
             # restore best-on-validation behavior: evaluate final only
             # (sklearn keeps best coefs; we track best during the loop)
             pass
@@ -162,36 +164,22 @@ class MLPClassifier:
         self.coefs_ = [np.asarray(w) for w in params["w"]]
         self.intercepts_ = [np.asarray(b) for b in params["b"]]
 
-    def _fit_lbfgs(self, params, X, yb):
+    def _fit_fullbatch(self, params, X, yb):
+        """Full-batch lbfgs/bfgs/cg fit, mirroring the reference's fitLbfgs
+        (basemlp64.go:675-727) and its gonum method registry
+        (nn/base/optimizers.go:47-58)."""
         n = X.shape[0]
         x = jnp.asarray(X)
         yj = jnp.asarray(yb)
         wmask = jnp.ones((n,), jnp.float32)
         if self.batch_normalize:
             x = _maxabs_scale(x)
-        solver = optax.lbfgs()
-        opt_state = solver.init(params)
         loss_fn = lambda p: self._loss(p, x, yj, wmask, n)
-        value_and_grad = optax.value_and_grad_from_state(loss_fn)
-
-        @jax.jit
-        def step(params, opt_state):
-            loss, grad = value_and_grad(params, state=opt_state)
-            updates, opt_state = solver.update(
-                grad, opt_state, params, value=loss, grad=grad,
-                value_fn=loss_fn)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
-
-        prev = np.inf
-        for it in range(self.max_iter):
-            params, opt_state, loss = step(params, opt_state)
-            loss = float(loss)
-            self.loss_curve_.append(loss)
-            self.n_iter_ = it + 1
-            if abs(prev - loss) < self.tol:
-                break
-            prev = loss
+        params, curve, n_iter = fullbatch_minimize(
+            self.solver, loss_fn, params, max_iter=self.max_iter,
+            tol=self.tol)
+        self.loss_curve_.extend(curve)
+        self.n_iter_ = n_iter
         self._store(params)
 
     def _fit_stochastic(self, params, X, yb, key):

@@ -1,2 +1,3 @@
-from goctr_tpu.optim.optimizers import SOLVERS, make_solver
+from goctr_tpu.optim.optimizers import (FULLBATCH_SOLVERS, SOLVERS,
+                                        fullbatch_minimize, make_solver)
 from goctr_tpu.optim.schedules import make_schedule

@@ -54,15 +54,40 @@ def test_gradient_matches_finite_differences():
         assert fd == pytest.approx(float(gflat[i]), abs=2e-3), f"param {i}"
 
 
-@pytest.mark.parametrize("solver", ["adam", "sgd", "lbfgs"])
+@pytest.mark.parametrize("solver", ["adam", "sgd", "lbfgs", "bfgs", "cg"])
 def test_solvers_learn_blobs(solver):
     X, y = _make_blobs(600, seed=2)
     clf = MLPClassifier(hidden_layer_sizes=(20,), solver=solver,
-                        learning_rate_init=1e-2 if solver != "lbfgs" else 1e-3,
+                        learning_rate_init=1e-2 if solver in ("adam", "sgd")
+                        else 1e-3,
                         max_iter=60, random_state=0)
     clf.fit(X, y)
     assert clf.score(X, y) > 0.9, f"{solver} score {clf.score(X, y)}"
     assert clf.loss_curve_[-1] < clf.loss_curve_[0]
+
+
+@pytest.mark.parametrize("solver", ["lbfgs", "bfgs", "cg"])
+def test_fullbatch_minimizers_solve_quadratic(solver):
+    """lbfgs/bfgs/cg (gonum method registry parity,
+    nn/base/optimizers.go:47-58) reach the exact minimum of a convex
+    quadratic: f(x) = 0.5 (x-c)ᵀ A (x-c) with A ≻ 0."""
+    from goctr_tpu.optim import fullbatch_minimize
+    rng = np.random.default_rng(0)
+    m = rng.normal(0, 1, (6, 6))
+    a = jnp.asarray((m @ m.T + 6 * np.eye(6)).astype(np.float32))
+    c = jnp.asarray(rng.normal(0, 2, 6).astype(np.float32))
+
+    def loss(p):
+        d = p["x"] - c
+        return 0.5 * d @ a @ d
+
+    x0 = {"x": jnp.zeros(6, jnp.float32)}
+    sol, curve, n_iter = fullbatch_minimize(solver, loss, x0,
+                                            max_iter=200, tol=1e-10)
+    np.testing.assert_allclose(np.asarray(sol["x"]), np.asarray(c),
+                               atol=1e-3)
+    assert curve[-1] < 1e-5
+    assert n_iter <= 200
 
 
 def test_multiclass_softmax():
