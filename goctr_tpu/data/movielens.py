@@ -241,11 +241,28 @@ class MovielensRec:
         return {"items": items}
 
     def get_dashboard_overview(self, ctx: Context) -> dict:
-        users = self.db.execute("SELECT count(*) FROM user").fetchone()[0]
-        items = self.db.execute("SELECT count(*) FROM movies").fetchone()[0]
-        return {"users": int(users), "items": int(items),
-                "total_positive": 0, "valid_positive": 0,
-                "valid_negative": 0}
+        """Dashboard counts (GetDashboardOverview parity,
+        feature.go:358-384 + DTO keys the frontend reads,
+        frontend/src/views/overview/index.vue). The reference returns the
+        positive/negative fields but never fills them (they render as 0);
+        here they are real: positive = rating > 3.5 (the label binarization
+        threshold, feature.go:386-398). `rating_hist` is an addition feeding
+        the dashboard's rating-distribution chart."""
+        one = lambda q: int(self.db.execute(q).fetchone()[0])
+        hist = [{"rating": float(r), "count": int(c)} for r, c in
+                self.db.execute("SELECT rating, count(*) FROM ratings "
+                                "GROUP BY rating ORDER BY rating")]
+        return {
+            "users": one("SELECT count(*) FROM user"),
+            "items": one("SELECT count(*) FROM movies"),
+            "total_positive":
+                one("SELECT count(*) FROM ratings WHERE rating > 3.5"),
+            "valid_positive":
+                one("SELECT count(*) FROM ratings_train WHERE rating > 3.5"),
+            "valid_negative":
+                one("SELECT count(*) FROM ratings_train WHERE rating <= 3.5"),
+            "rating_hist": hist,
+        }
 
     # -------------------------------------------------------------- eval ---
     def test_samples(self, limit: int = 0) -> list[Sample]:

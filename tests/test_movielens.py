@@ -93,6 +93,11 @@ def test_http_serving_roundtrip(predictor):
         with urllib.request.urlopen(base + "/service/overview") as r:
             ov = json.loads(r.read())
         assert ov["users"] == 200 and ov["items"] == 300
+        # positive counts are real here (reference leaves them 0):
+        # positive = rating > 3.5, the binarization threshold
+        assert ov["total_positive"] > 0
+        assert ov["valid_positive"] + ov["valid_negative"] > 0
+        assert sum(h["count"] for h in ov["rating_hist"]) > 0
 
         with urllib.request.urlopen(
                 base + "/service/items?page=1&size=5") as r:
@@ -111,6 +116,9 @@ def test_http_serving_roundtrip(predictor):
         with urllib.request.urlopen(base + "/") as r:
             html = r.read().decode()
         assert "dashboard" in html.lower()
+        # SPA views mirroring the reference frontend (frontend/src/views/)
+        for view in ("#/overview", "#/users", "#/items", "#/login"):
+            assert view in html
     finally:
         server.stop()
 
