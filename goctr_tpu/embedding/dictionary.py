@@ -71,6 +71,18 @@ class Dictionary:
             encoded.append(ids)
         return d, encoded
 
+    def encode(self, doc: Sequence[str] | str,
+               to_lower: bool = False) -> np.ndarray:
+        """Tokens → int32 ids without mutating counts (streaming pass 2;
+        unknown words are dropped, matching the fs-corpus re-read where the
+        dictionary is already frozen)."""
+        toks = doc.split() if isinstance(doc, str) else doc
+        if to_lower:
+            toks = [t.lower() for t in toks]
+        w2i = self.word2id
+        ids = [w2i[t] for t in toks if t in w2i]
+        return np.asarray(ids, dtype=np.int32)
+
     def keep_probs(self, threshold: float = 1e-3) -> np.ndarray:
         """Per-id subsampling keep probability (wego modelutil/subsample:
         p = (sqrt(fr/t) + 1) * t/fr, clipped to 1), fr = freq/total."""

@@ -87,16 +87,7 @@ class Word2Vec:
                      int(valid.sum()), time.perf_counter() - t0)
 
         rng = np.random.default_rng(o.seed)
-        self.w_in = ((rng.random((v, o.dim)).astype(np.float32) - 0.5)
-                     / o.dim)                       # word2vec standard init
-        if o.optimizer == "hs":
-            paths, codes, lengths = build_huffman_paths(
-                counts.tolist(), o.max_depth)
-            self._paths, self._codes, self._lengths = paths, codes, lengths
-            self.w_out = np.zeros((max(v - 1, 1), o.dim), np.float32)
-        else:
-            self.w_out = np.zeros((v, o.dim), np.float32)
-
+        self._init_state(counts, rng)
         keep = self.dictionary.keep_probs(o.subsample_threshold)
         total_words = int(sum(len(d) for d in encoded))
         flat_docs = [d[valid[d]] for d in encoded]   # drop rare words
@@ -133,6 +124,103 @@ class Word2Vec:
         self.w_in = np.asarray(w_in)
         self.w_out = np.asarray(w_out)
         return self
+
+    def train_file(self, path, *, batch_docs: int = 20_000) -> "Word2Vec":
+        """Out-of-core twin of train() — the streaming fs-corpus variant
+        (reference corpus/fs/fs.go batched channel reads + streaming train,
+        word2vec.go:151-196). Two passes per the reference design: pass 1
+        builds the dictionary line-by-line; each iteration then re-reads the
+        file in `batch_docs`-line chunks, generates that chunk's examples,
+        and feeds the same jitted epoch — host memory stays O(chunk), never
+        O(corpus)."""
+        o = self.opts
+        t0 = time.perf_counter()
+        d = Dictionary()
+        total_words = 0
+        with open(path) as f:
+            for line in f:
+                toks = line.split()
+                if o.to_lower:
+                    toks = [t.lower() for t in toks]
+                if toks:
+                    d.add(*toks)
+                    total_words += len(toks)
+        self.dictionary = d
+        v = len(d)
+        if v == 0:
+            raise ValueError("empty corpus")
+        counts = d.counts_array()
+        valid = counts >= o.min_count
+        if o.verbose:
+            log.info("vocab %d (%d ≥ min_count) read in %.2fs", v,
+                     int(valid.sum()), time.perf_counter() - t0)
+
+        rng = np.random.default_rng(o.seed)
+        self._init_state(counts, rng)
+        keep = d.keep_probs(o.subsample_threshold)
+
+        w_in = jnp.asarray(self.w_in)
+        w_out = jnp.asarray(self.w_out)
+        device_tables = self._device_tables()
+        step_fn = self._make_epoch_fn()
+
+        words_done = 0
+        total_train_words = max(total_words * o.iters, 1)
+        for it in range(o.iters):
+            # chunk 0 uses the same raw key as train()'s iteration key, so a
+            # corpus that fits one chunk trains bit-identically to train();
+            # later chunks fold in their index for distinct negatives
+            iter_key = jax.random.key(o.seed * 1000 + it)
+            chunk: list[np.ndarray] = []
+            chunk_idx = 0
+
+            def flush(w_in, w_out, words_done, chunk_idx):
+                centers, ctx = self._gen_examples(chunk, keep, rng)
+                lr_start = max(o.min_lr, o.init_lr *
+                               (1 - words_done / total_train_words))
+                words_done += sum(len(c) for c in chunk)
+                lr_end = max(o.min_lr, o.init_lr *
+                             (1 - words_done / total_train_words))
+                if centers.size:
+                    key = iter_key if chunk_idx == 0 else \
+                        jax.random.fold_in(iter_key, chunk_idx)
+                    w_in, w_out = step_fn(
+                        w_in, w_out, *device_tables,
+                        *self._batchify(centers, ctx, rng),
+                        jnp.float32(lr_start), jnp.float32(lr_end), key)
+                    self.words_trained += centers.size
+                return w_in, w_out, words_done, chunk_idx + 1
+
+            with open(path) as f:
+                for line in f:
+                    ids = d.encode(line, o.to_lower)
+                    if ids.size:
+                        chunk.append(ids[valid[ids]])
+                    if len(chunk) >= batch_docs:
+                        w_in, w_out, words_done, chunk_idx = flush(
+                            w_in, w_out, words_done, chunk_idx)
+                        chunk = []
+            if chunk:
+                w_in, w_out, words_done, chunk_idx = flush(
+                    w_in, w_out, words_done, chunk_idx)
+        self.w_in = np.asarray(w_in)
+        self.w_out = np.asarray(w_out)
+        return self
+
+    def _init_state(self, counts: np.ndarray, rng: np.random.Generator):
+        """w_in init + HS Huffman paths or NS output table, from a built
+        dictionary (word2vec standard init; HuffnamTree huffman.go:23-57)."""
+        o = self.opts
+        v = len(self.dictionary)
+        self.w_in = ((rng.random((v, o.dim)).astype(np.float32) - 0.5)
+                     / o.dim)
+        if o.optimizer == "hs":
+            paths, codes, lengths = build_huffman_paths(
+                counts.tolist(), o.max_depth)
+            self._paths, self._codes, self._lengths = paths, codes, lengths
+            self.w_out = np.zeros((max(v - 1, 1), o.dim), np.float32)
+        else:
+            self.w_out = np.zeros((v, o.dim), np.float32)
 
     # ------------------------------------------------------ example build --
     def _gen_examples(self, docs: list[np.ndarray], keep: np.ndarray,

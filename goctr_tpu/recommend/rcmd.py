@@ -37,6 +37,13 @@ USER_BEHAVIOR_LEN = 10       # rcmd.go:24
 USER_FEATURE_CACHE_SIZE = 200_000
 ITEM_FEATURE_CACHE_SIZE = 2_000_000
 
+# Debug hooks (rcmd.go:43-44): set DEBUG_ITEM_ID (and optionally
+# DEBUG_USER_ID; 0/-1 = any user) to log the assembled feature vector and
+# score for matching (user, item) pairs during BatchPredict
+# (rcmd.go:319-323,334).
+DEBUG_USER_ID: int = 0
+DEBUG_ITEM_ID: int = 0
+
 
 class Stage(enum.Enum):
     TRAIN = 0
@@ -363,7 +370,16 @@ def BatchPredict(ctx: Context, predictor: Predictor,
     state = getattr(predictor, "_state", None) or _State()
     state.item_embedding_map = predictor.item_embedding_map
     x = _assemble_batch(ctx, state, rec_sys, sample_keys)
-    return np.asarray(predictor.model.predict(x)).ravel()
+    scores = np.asarray(predictor.model.predict(x)).ravel()
+    if DEBUG_ITEM_ID > 0:
+        for i, k in enumerate(sample_keys):
+            if k.item_id == DEBUG_ITEM_ID and \
+                    DEBUG_USER_ID in (0, -1, k.user_id):
+                log.info("user %d: item %d: feature %s", k.user_id,
+                         k.item_id, x[i].tolist())
+                log.info("user %d: item %d: score %s", k.user_id,
+                         k.item_id, scores[i])
+    return scores
 
 
 def _fetch_features_unique(ctx, state: _State, rec_sys, ids: list[int],

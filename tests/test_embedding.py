@@ -85,6 +85,36 @@ def test_word2vec_learns_clusters(model, opt):
     assert intra > inter + 0.2, f"{model}/{opt}: intra {intra} inter {inter}"
 
 
+def test_train_file_single_chunk_matches_in_memory(tmp_path):
+    """Streaming fs-corpus train (word2vec.go:151-196, corpus/fs) with one
+    chunk is bit-identical to the in-memory path: same dictionary order,
+    same RNG consumption, same jitted epoch."""
+    docs = _cluster_corpus(300)
+    p = tmp_path / "corpus.txt"
+    p.write_text("\n".join(" ".join(d) for d in docs) + "\n")
+    opts = dict(dim=8, window=3, iters=2, min_count=1, batch_size=512,
+                seed=1, subsample_threshold=0)
+    mem = Word2Vec(Word2VecOptions(**opts)).train(docs)
+    stream = Word2Vec(Word2VecOptions(**opts)).train_file(
+        p, batch_docs=10_000)
+    assert stream.dictionary.id2word == mem.dictionary.id2word
+    np.testing.assert_array_equal(stream.w_in, mem.w_in)
+    np.testing.assert_array_equal(stream.w_out, mem.w_out)
+
+
+def test_train_file_multi_chunk_learns(tmp_path):
+    docs = _cluster_corpus(1200)
+    p = tmp_path / "corpus.txt"
+    p.write_text("\n".join(" ".join(d) for d in docs) + "\n")
+    w2v = Word2Vec(Word2VecOptions(
+        dim=16, window=3, iters=3, min_count=1, batch_size=512, seed=1,
+        subsample_threshold=0)).train_file(p, batch_docs=200)
+    emb = embedding_map_from_model(w2v)
+    assert len(emb) == 20
+    intra, inter = _intra_inter(emb)
+    assert intra > inter + 0.2, f"intra {intra} inter {inter}"
+
+
 def test_train_embedding_high_level():
     emb = train_embedding(_cluster_corpus(1000), window=3, dim=16, iters=2,
                           min_count=1)

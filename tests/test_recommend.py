@@ -128,6 +128,29 @@ def test_batch_predict_first_row_failure_raises(trained):
                      [Sample(user_id=9999, item_id=1)])
 
 
+def test_debug_hooks_log_feature_and_score(trained, caplog):
+    """DEBUG_USER_ID/DEBUG_ITEM_ID print the assembled feature vector and
+    score for the chosen pair (rcmd.go:43-44,319-323,334)."""
+    import logging
+
+    from goctr_tpu.recommend import rcmd
+    rec, predictor = trained
+    rcmd.DEBUG_USER_ID, rcmd.DEBUG_ITEM_ID = 3, 13
+    try:
+        with caplog.at_level(logging.INFO, logger="goctr_tpu.recommend.rcmd"):
+            BatchPredict(Context(), predictor,
+                         [Sample(user_id=3, item_id=13),
+                          Sample(user_id=4, item_id=13),   # user mismatch
+                          Sample(user_id=3, item_id=14)])  # item mismatch
+    finally:
+        rcmd.DEBUG_USER_ID = rcmd.DEBUG_ITEM_ID = 0
+    msgs = [r.message for r in caplog.records if "user 3: item 13" in r.message]
+    assert any("feature" in m for m in msgs)
+    assert any("score" in m for m in msgs)
+    assert not any("user 4" in r.message or "item 14" in r.message
+                   for r in caplog.records)
+
+
 def test_stage_routing():
     ctx = Context()
     assert ctx.stage == Stage.TRAIN
