@@ -6,7 +6,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from goctr_tpu.models.mlp_classifier import MLPClassifier
+from goctr_tpu.models.mlp_classifier import FULLBATCH_SOLVERS, MLPClassifier
 
 
 class MLPRegressor(MLPClassifier):
@@ -38,8 +38,8 @@ class MLPRegressor(MLPClassifier):
                 k1, (dims[i], dims[i + 1]), jnp.float32, -bound, bound))
             params["b"].append(jax.random.uniform(
                 k2, (dims[i + 1],), jnp.float32, -bound, bound))
-        if self.solver == "lbfgs":
-            self._fit_lbfgs(params, X, y)
+        if self.solver in FULLBATCH_SOLVERS:
+            self._fit_fullbatch(params, X, y)
         else:
             self._fit_stochastic(params, X, y, key)
         return self
