@@ -18,6 +18,8 @@ class Column:
     type: str
     nullable: bool = True
     primary_key: bool = False
+    size: str = ""
+    comment: str = ""
 
 
 class TableScanner(Protocol):
@@ -98,6 +100,87 @@ class MysqlScanner:
                 if not rows:
                     return
                 yield from rows
+
+
+_CONSTRAINT_PREFIXES = ("PRIMARY KEY", "UNIQUE KEY", "KEY", "INDEX",
+                        "CONSTRAINT", "FOREIGN KEY", "FULLTEXT", "SPATIAL",
+                        "CHECK")
+
+
+def parse_mysql_ddl(ddl: str) -> tuple[str, list[Column]]:
+    """Parse `SHOW CREATE TABLE` output into (table_name, columns).
+
+    Pure-function twin of the reference's sqlparser-backed ParseMysqlDDL
+    (/root/reference/schema/mysql.go:117-151): extracts per-column name,
+    base type, declared length/size, COMMENT, NOT NULL, and PRIMARY KEY
+    membership. Raises ValueError on non-CREATE statements (ErrNotDDL).
+    """
+    import re
+
+    text = ddl.strip()
+    m = re.match(r"(?is)CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+"
+                 r"EXISTS\s+)?[`\"]?([\w$]+)[`\"]?\s*\(", text)
+    if not m:
+        raise ValueError("not a CREATE TABLE statement")
+    table = m.group(1)
+    body_start = m.end() - 1
+    # body = balanced (...) after the table name
+    depth, end = 0, -1
+    for i in range(body_start, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    if end < 0:
+        raise ValueError("unbalanced CREATE TABLE body")
+    body = text[body_start + 1:end]
+
+    # split on top-level commas only (types like DECIMAL(10,2) nest commas)
+    defs, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            defs.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur and "".join(cur).strip():
+        defs.append("".join(cur).strip())
+
+    cols: list[Column] = []
+    pk_names: set[str] = set()
+    for d in defs:
+        upper = d.upper()
+        if any(upper.startswith(p) for p in _CONSTRAINT_PREFIXES):
+            if upper.startswith("PRIMARY KEY"):
+                pk_names = {n.strip(" `\"") for n in
+                            re.findall(r"\(([^)]*)\)", d)[0].split(",")} \
+                    if "(" in d else set()
+            continue
+        cm = re.match(r"[`\"]?([\w$]+)[`\"]?\s+([\w]+)(?:\(([^)]*)\))?", d)
+        if not cm:
+            continue
+        name, ctype, size = cm.group(1), cm.group(2).lower(), cm.group(3) or ""
+        comment_m = re.search(r"(?i)COMMENT\s+'((?:[^']|'')*)'", d)
+        cols.append(Column(
+            name=name, type=ctype,
+            nullable="NOT NULL" not in upper,
+            primary_key="PRIMARY KEY" in upper,
+            size=size.strip(),
+            comment=comment_m.group(1).replace("''", "'") if comment_m
+            else ""))
+    for c in cols:
+        if c.name in pk_names:
+            c.primary_key = True
+    if not cols:
+        raise ValueError("CREATE TABLE with no parseable columns")
+    return table, cols
 
 
 def _parse_mysql_dsn(dsn: str) -> dict:

@@ -51,6 +51,44 @@ def test_schema_scanner(db_path):
         s.get_schema("nope")
 
 
+def test_parse_mysql_ddl():
+    """Hermetic twin of the reference's ParseMysqlDDL (mysql.go:117-151):
+    SHOW CREATE TABLE output → (table, columns with type/size/comment)."""
+    from goctr_tpu.data.schema import parse_mysql_ddl
+
+    ddl = """CREATE TABLE `sales` (
+      `id` bigint(20) NOT NULL AUTO_INCREMENT,
+      `shop_id` int(11) NOT NULL COMMENT 'the shop''s id',
+      `price` decimal(10,2) DEFAULT NULL,
+      `name` varchar(255) DEFAULT '',
+      `sold_at` datetime,
+      PRIMARY KEY (`id`),
+      KEY `idx_shop` (`shop_id`)
+    ) ENGINE=InnoDB DEFAULT CHARSET=utf8mb4"""
+    table, cols = parse_mysql_ddl(ddl)
+    assert table == "sales"
+    by_name = {c.name: c for c in cols}
+    assert list(by_name) == ["id", "shop_id", "price", "name", "sold_at"]
+    assert by_name["id"].type == "bigint" and by_name["id"].size == "20"
+    assert by_name["id"].primary_key and not by_name["id"].nullable
+    assert by_name["shop_id"].comment == "the shop's id"
+    assert by_name["price"].type == "decimal" and by_name["price"].size == "10,2"
+    assert by_name["name"].type == "varchar" and by_name["name"].nullable
+    assert by_name["sold_at"].size == ""
+    with pytest.raises(ValueError):
+        parse_mysql_ddl("DROP TABLE sales")
+
+
+def test_parse_mysql_dsn():
+    from goctr_tpu.data.schema import _parse_mysql_dsn
+
+    d = _parse_mysql_dsn("root:secret@db.host:3307/shop")
+    assert d == {"user": "root", "password": "secret", "host": "db.host",
+                 "port": 3307, "database": "shop"}
+    d = _parse_mysql_dsn("alice@localhost/app")
+    assert d["user"] == "alice" and d["port"] == 3306 and d["password"] == ""
+
+
 def test_item_feature_layout(db_path):
     rec = MovielensRec(db_path)
     rec.pre_train(Context())
