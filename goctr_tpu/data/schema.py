@@ -102,9 +102,74 @@ class MysqlScanner:
                 yield from rows
 
 
-_CONSTRAINT_PREFIXES = ("PRIMARY KEY", "UNIQUE KEY", "KEY", "INDEX",
-                        "CONSTRAINT", "FOREIGN KEY", "FULLTEXT", "SPATIAL",
-                        "CHECK")
+def _mask_literals(s: str) -> str:
+    """Blank the contents of '...' string literals (honoring '' and \\'
+    escapes) and `...` quoted identifiers, preserving length, so structural
+    scans (paren depth, comma splits, keyword checks) can't be fooled by
+    quotes/commas/parens inside COMMENT/DEFAULT text or column names."""
+    out = list(s)
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "\\" and j + 1 < n:        # \' (and \\ etc.)
+                    out[j] = out[j + 1] = " "
+                    j += 2
+                    continue
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":  # '' escape
+                        out[j] = out[j + 1] = " "
+                        j += 2
+                        continue
+                    break
+                out[j] = " "
+                j += 1
+            i = j + 1
+        elif ch == "`":
+            j = i + 1
+            while j < n and s[j] != "`":
+                out[j] = " "
+                j += 1
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _split_top_level(text: str, masked: str) -> list[tuple[str, str]]:
+    """Split on commas at paren depth 0 (depth computed on the masked
+    twin); returns (original, masked) fragment pairs, stripped in sync."""
+    frags: list[tuple[str, str]] = []
+    depth, start = 0, 0
+    for i, ch in enumerate(masked):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            frags.append((text[start:i], masked[start:i]))
+            start = i + 1
+    frags.append((text[start:], masked[start:]))
+    out = []
+    for orig, msk in frags:
+        lead = len(orig) - len(orig.lstrip())
+        trail = len(orig) - len(orig.rstrip())
+        end = len(orig) - trail
+        if orig.strip():
+            out.append((orig[lead:end], msk[lead:end]))
+    return out
+
+
+# Word-boundary match so a column named e.g. `key_id` (unquoted) is not
+# misclassified as an index definition (reference's sqlparser gets this
+# right via real tokenization, mysql.go:117-151).
+import re as _re
+
+_CONSTRAINT_RE = _re.compile(
+    r"(?i)(PRIMARY\s+KEY|UNIQUE(?:\s+KEY|\s+INDEX)?|KEY|INDEX|CONSTRAINT|"
+    r"FOREIGN\s+KEY|FULLTEXT|SPATIAL|CHECK)\b")
 
 
 def parse_mysql_ddl(ddl: str) -> tuple[str, list[Column]]:
@@ -113,23 +178,27 @@ def parse_mysql_ddl(ddl: str) -> tuple[str, list[Column]]:
     Pure-function twin of the reference's sqlparser-backed ParseMysqlDDL
     (/root/reference/schema/mysql.go:117-151): extracts per-column name,
     base type, declared length/size, COMMENT, NOT NULL, and PRIMARY KEY
-    membership. Raises ValueError on non-CREATE statements (ErrNotDDL).
+    membership (including composite keys with prefix lengths). All
+    structural scanning is literal-aware: commas/parens/keywords inside
+    '...' strings or `...` identifiers never affect parsing. Raises
+    ValueError on non-CREATE statements (ErrNotDDL).
     """
     import re
 
     text = ddl.strip()
+    masked = _mask_literals(text)
     m = re.match(r"(?is)CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+"
                  r"EXISTS\s+)?[`\"]?([\w$]+)[`\"]?\s*\(", text)
     if not m:
         raise ValueError("not a CREATE TABLE statement")
     table = m.group(1)
     body_start = m.end() - 1
-    # body = balanced (...) after the table name
+    # body = balanced (...) after the table name, literal-aware
     depth, end = 0, -1
-    for i in range(body_start, len(text)):
-        if text[i] == "(":
+    for i in range(body_start, len(masked)):
+        if masked[i] == "(":
             depth += 1
-        elif text[i] == ")":
+        elif masked[i] == ")":
             depth -= 1
             if depth == 0:
                 end = i
@@ -137,44 +206,58 @@ def parse_mysql_ddl(ddl: str) -> tuple[str, list[Column]]:
     if end < 0:
         raise ValueError("unbalanced CREATE TABLE body")
     body = text[body_start + 1:end]
+    mbody = masked[body_start + 1:end]
 
-    # split on top-level commas only (types like DECIMAL(10,2) nest commas)
-    defs, depth, cur = [], 0, []
-    for ch in body:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        if ch == "," and depth == 0:
-            defs.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-    if cur and "".join(cur).strip():
-        defs.append("".join(cur).strip())
+    def pk_members(d: str, md: str) -> set[str]:
+        """Column names from a PRIMARY KEY (...) list; handles composite
+        keys with prefix lengths like (`name`(10),`id`)."""
+        lp = md.find("(")
+        if lp < 0:
+            return set()
+        depth = 0
+        rp = -1
+        for i in range(lp, len(md)):
+            if md[i] == "(":
+                depth += 1
+            elif md[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    rp = i
+                    break
+        if rp < 0:
+            return set()
+        names = set()
+        for orig, _ in _split_top_level(d[lp + 1:rp], md[lp + 1:rp]):
+            orig = re.sub(r"\(\s*\d+\s*\)\s*$", "", orig.strip())  # (N) prefix
+            names.add(orig.strip(" `\""))
+        return names
 
     cols: list[Column] = []
     pk_names: set[str] = set()
-    for d in defs:
-        upper = d.upper()
-        if any(upper.startswith(p) for p in _CONSTRAINT_PREFIXES):
-            if upper.startswith("PRIMARY KEY"):
-                pk_names = {n.strip(" `\"") for n in
-                            re.findall(r"\(([^)]*)\)", d)[0].split(",")} \
-                    if "(" in d else set()
+    for d, md in _split_top_level(body, mbody):
+        mupper = md.upper()
+        # constraint defs never start with a quoted identifier; column defs
+        # whose unquoted name merely starts with KEY/CHECK/... don't match
+        # the word-boundary regex
+        if not d.startswith(("`", '"')) and _CONSTRAINT_RE.match(md):
+            if mupper.startswith("PRIMARY"):
+                pk_names = pk_members(d, md)
             continue
         cm = re.match(r"[`\"]?([\w$]+)[`\"]?\s+([\w]+)(?:\(([^)]*)\))?", d)
         if not cm:
             continue
         name, ctype, size = cm.group(1), cm.group(2).lower(), cm.group(3) or ""
-        comment_m = re.search(r"(?i)COMMENT\s+'((?:[^']|'')*)'", d)
+        comment_m = re.search(r"(?i)COMMENT\s+'((?:[^'\\]|''|\\.)*)'", d)
+        comment = ""
+        if comment_m:
+            comment = (comment_m.group(1).replace("''", "'")
+                       .replace("\\'", "'").replace("\\\\", "\\"))
         cols.append(Column(
             name=name, type=ctype,
-            nullable="NOT NULL" not in upper,
-            primary_key="PRIMARY KEY" in upper,
+            nullable="NOT NULL" not in mupper,
+            primary_key="PRIMARY KEY" in mupper,
             size=size.strip(),
-            comment=comment_m.group(1).replace("''", "'") if comment_m
-            else ""))
+            comment=comment))
     for c in cols:
         if c.name in pk_names:
             c.primary_key = True

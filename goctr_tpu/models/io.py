@@ -7,8 +7,9 @@ SURVEY.md §5 checkpoint note):
    DIN (din.go:41-52) / YouTube-DNN (dnn.go:38-47) marshals, so weights can
    round-trip with go-ctr model files. Row-major flat float lists; only
    emitted when the model has no biases (the reference has none).
-2. **Full checkpoints** — params + optimizer state + model config via
-   orbax, supporting true mid-training resume (absent in the reference).
+2. **Full checkpoints** — params + optimizer state + model config as
+   npz + JSON sidecar, supporting true mid-training resume (absent in the
+   reference).
 """
 from __future__ import annotations
 

@@ -79,6 +79,35 @@ def test_parse_mysql_ddl():
         parse_mysql_ddl("DROP TABLE sales")
 
 
+def test_parse_mysql_ddl_literal_aware():
+    """Commas/parens/keywords inside quoted strings must not affect the
+    structural parse (the reference's sqlparser tokenizes properly; a naive
+    scanner silently yields phantom columns)."""
+    from goctr_tpu.data.schema import parse_mysql_ddl
+
+    ddl = """CREATE TABLE `t` (
+      `pair` varchar(64) NOT NULL COMMENT 'shop, item pair',
+      `esc` varchar(8) DEFAULT 'a\\'b' COMMENT 'say \\'hi\\', ok (really)',
+      `trick` int DEFAULT 1 COMMENT 'NOT NULL PRIMARY KEY, KEY',
+      key_id int NOT NULL,
+      checksum int,
+      PRIMARY KEY (`pair`(10),`key_id`)
+    ) ENGINE=InnoDB"""
+    table, cols = parse_mysql_ddl(ddl)
+    assert table == "t"
+    by_name = {c.name: c for c in cols}
+    # no phantom columns; unquoted names starting with KEY/CHECK survive
+    assert list(by_name) == ["pair", "esc", "trick", "key_id", "checksum"]
+    assert by_name["pair"].comment == "shop, item pair"
+    assert by_name["esc"].comment == "say 'hi', ok (really)"
+    # keywords inside the comment string must not flip flags
+    assert by_name["trick"].nullable and not by_name["trick"].primary_key
+    assert not by_name["key_id"].nullable
+    # composite PK with prefix length: both members flagged
+    assert by_name["pair"].primary_key and by_name["key_id"].primary_key
+    assert not by_name["checksum"].primary_key
+
+
 def test_parse_mysql_dsn():
     from goctr_tpu.data.schema import _parse_mysql_dsn
 

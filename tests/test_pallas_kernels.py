@@ -1,5 +1,8 @@
-"""Pallas kernel correctness vs jnp reference, in interpreter mode on CPU
-(the compiled path is exercised on the real TPU by bench/verify runs)."""
+"""Pallas kernel correctness vs jnp reference, in interpreter mode on CPU.
+
+The compiled path is exercised separately on the real chip by the verify
+recipe (.claude/skills/verify/SKILL.md); measured results live in
+BENCH_NOTES.md."""
 import jax
 import jax.numpy as jnp
 import numpy as np
