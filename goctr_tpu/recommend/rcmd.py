@@ -108,10 +108,15 @@ class RankerFitter:
     """Fitter building a DIN / YouTube-DNN / MLP ranker from the assembled
     sample (the counterpart of dinimpl.Fit / SimpleMlpFitWrap.Fit)."""
 
-    def __init__(self, model_name: str = "mlp", trainer_config=None, **model_kw):
+    def __init__(self, model_name: str = "mlp", trainer_config=None,
+                 use_bf16: Optional[bool] = None, **model_kw):
         self.model_name = model_name
         self.trainer_config = trainer_config
         self.model_kw = model_kw
+        if use_bf16 is not None and "compute_dtype" not in model_kw:
+            from goctr_tpu.core.dtypes import default_policy
+            self.model_kw["compute_dtype"] = \
+                default_policy(use_bf16).compute_dtype
         self.ranker = None
 
     def fit(self, sample: TrainSample):

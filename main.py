@@ -49,7 +49,8 @@ def main(argv: list[str]) -> int:
     if cfg.model.name == "mlp":
         model_kw = dict(hidden=tuple(cfg.model.hidden),
                         activation=cfg.model.activation)
-    fitter = RankerFitter(cfg.model.name, tc, **model_kw)
+    fitter = RankerFitter(cfg.model.name, tc, use_bf16=cfg.model.use_bf16,
+                          **model_kw)
 
     log.info("training %s on %s ...", cfg.model.name, cfg.data.dsn)
     predictor = Train(Context(), rec, fitter)
