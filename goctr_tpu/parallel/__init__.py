@@ -3,3 +3,6 @@ from goctr_tpu.parallel.embedding import (
 )
 from goctr_tpu.parallel.sparse_ctr import SparseCTR, SparseBatch
 from goctr_tpu.parallel.train import make_sharded_train_step
+from goctr_tpu.parallel.scanned import (
+    TableOptConfig, TrainedScanned, train_sparse_scanned,
+)

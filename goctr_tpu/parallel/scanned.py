@@ -1,0 +1,266 @@
+"""Device-resident scanned trainer for SparseCTR — the single-chip perf path.
+
+The per-batch sharded trainer (parallel/sparse_trainer.py) round-trips the
+host every minibatch: fine under a local PJRT client, dominated by dispatch
+latency through a remote relay. This trainer is the whole-dataset-on-device
+counterpart of models/trainer.py for raw-id samples: ids + dense blocks live
+in HBM, one jitted `epoch_step` lax.scan's over every minibatch, and the
+host sees exactly one dispatch per epoch.
+
+The second difference is the embedding-table update. Differentiating through
+`jnp.take(table, ids)` materializes a dense [V, D] cotangent (plus [V, D]
+Adam moments) — 3 extra table-sized buffers, which caps vocab at a fraction
+of HBM. Here the table never enters autodiff: the loss is differentiated
+w.r.t. the *gathered rows* (SparseCTR.apply_pooled), and the table is
+updated by scatter-add with a row-wise optimizer:
+
+  * ``sgd``      — table.at[ids].add(-lr · g_row). Exact even with duplicate
+                   ids in a batch (scatter-add sums their gradients).
+  * ``adagrad``  — DLRM-standard row-wise AdaGrad with a single [V] second-
+                   moment accumulator (40 MB at vocab=10M vs 2× [V, D] for
+                   Adam). Duplicate ids within one batch race Hogwild-style
+                   (each duplicate scales by the post-update accumulator) —
+                   the same semantics the reference accepts in its lock-free
+                   word2vec updates (/root/reference/word2vec.go:168).
+
+Total table-attributable HBM: [V, D] + [V] — vocab 10M × dim 64 trains on a
+single v5e with room for a 5M-row dataset (BASELINE config #5 scale; the
+reference's embedding story is a frozen in-RAM Go map, rcmd.go:501-531).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from goctr_tpu.models.trainer import TrainerConfig
+from goctr_tpu.optim.optimizers import make_solver
+from goctr_tpu.optim.schedules import make_schedule
+from goctr_tpu.parallel.sparse_ctr import SparseCTR
+from goctr_tpu.parallel.sparse_trainer import SparseSample
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class TableOptConfig:
+    """Row-wise optimizer for the embedding table."""
+    kind: str = "adagrad"       # adagrad | sgd
+    lr: float = 0.01
+    eps: float = 1e-8
+
+
+@dataclasses.dataclass
+class TrainedScanned:
+    model: SparseCTR
+    dense_params: dict
+    table: jax.Array
+    loss_curve: list[float]
+    epoch_times: list[float]
+    opt_state: object = dataclasses.field(default=None, repr=False)
+    acc: Optional[jax.Array] = dataclasses.field(default=None, repr=False)
+
+    @property
+    def params(self) -> dict:
+        """SparseCTR-compatible params pytree (for apply/predict paths)."""
+        return dict(self.dense_params, item_table=self.table)
+
+    def predict(self, sample: SparseSample, batch_size: int = 32768
+                ) -> np.ndarray:
+        model = self.model
+        cd = model.compute_dtype
+
+        @jax.jit
+        def fwd(dense, table, prof, bids, iids, ctx):
+            emb_b = jnp.take(table, jnp.maximum(bids, 0), axis=0).astype(cd)
+            emb_i = jnp.take(table, iids, axis=0).astype(cd)
+            mask = (bids >= 0).astype(jnp.float32)
+            return jax.nn.sigmoid(model.apply_pooled(
+                dense, prof, emb_b, emb_i, ctx, mask, train=False))
+
+        n = sample.rows
+        out = np.empty(n, np.float32)
+        bs = min(batch_size, n)
+        for s in range(0, n, bs):
+            e = min(s + bs, n)
+            pad = bs - (e - s)
+            def p(a, fill=0):
+                x = a[s:e]
+                if pad:
+                    x = np.concatenate(
+                        [x, np.full((pad,) + x.shape[1:], fill, x.dtype)])
+                return x
+            scores = fwd(self.dense_params, self.table, p(sample.user_profile),
+                         p(sample.behavior_ids, -1), p(sample.item_ids),
+                         p(sample.ctx))
+            out[s:e] = np.asarray(scores)[:e - s]
+        return out
+
+
+def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
+                         cfg: Optional[TrainerConfig] = None,
+                         table_opt: Optional[TableOptConfig] = None,
+                         ) -> TrainedScanned:
+    """Single-device scanned training. For multi-chip table sharding use
+    parallel/sparse_trainer.py; this path maximizes one chip."""
+    cfg = cfg or TrainerConfig()
+    topt = table_opt or TableOptConfig()
+    if topt.kind not in ("adagrad", "sgd"):
+        raise ValueError(f"unknown table optimizer {topt.kind!r}")
+    n = sample.rows
+    bs = min(cfg.batch_size, n)
+    n_batches = -(-n // bs)
+    n_pad = n_batches * bs
+    T = sample.behavior_ids.shape[1]
+    D = model.emb_dim
+    V = model.item_vocab
+
+    # ---- device-resident dataset (padded tail rows carry weight 0) -------
+    def pad_rows(a: np.ndarray, fill=0) -> jax.Array:
+        if n_pad > n:
+            a = np.concatenate(
+                [a, np.full((n_pad - n,) + a.shape[1:], fill, a.dtype)])
+        return jnp.asarray(np.ascontiguousarray(a))
+
+    d_prof = pad_rows(sample.user_profile.astype(np.float32))
+    d_bids = pad_rows(sample.behavior_ids.astype(np.int32), fill=-1)
+    d_iids = pad_rows(sample.item_ids.astype(np.int32))
+    d_ctx = pad_rows(sample.ctx.astype(np.float32))
+    d_y = pad_rows(np.asarray(sample.labels, np.float32).ravel())
+    d_w = jnp.concatenate([jnp.ones((n,), jnp.float32),
+                           jnp.zeros((n_pad - n,), jnp.float32)])
+
+    # ---- params: dense tower via optax, table via row-wise updates -------
+    key = jax.random.key(cfg.seed)
+    key, k_init = jax.random.split(key)
+    k_table, k_mlp = jax.random.split(k_init)
+    dims = (model.concat_dim,) + tuple(model.hidden) + (1,)
+    from goctr_tpu.models.base import init_linear
+    mkeys = jax.random.split(k_mlp, len(dims) - 1)
+    dense_params = {
+        "att0": jnp.ones((model.behavior_len,), jnp.float32),
+        "mlp": [init_linear(k, (dims[i], dims[i + 1]), "glorot")
+                for i, k in enumerate(mkeys)],
+        "bias": [jnp.zeros((d,), jnp.float32) for d in dims[1:]],
+    }
+    table = jax.random.normal(k_table, (V, D), jnp.float32) * 0.01
+    acc = jnp.zeros((V,), jnp.float32)      # adagrad second moment (unused for sgd)
+
+    schedule = make_schedule(cfg.lr_schedule, cfg.lr, cfg.power_t)
+    solver = make_solver(
+        cfg.solver, schedule, l2=cfg.l2, weight_decay=cfg.weight_decay,
+        momentum=cfg.momentum, beta1=cfg.beta1, beta2=cfg.beta2,
+        epsilon=cfg.epsilon)
+    opt_state = solver.init(dense_params)
+    cd = model.compute_dtype
+
+    def loss_fn(dense, emb_b, emb_i, prof, ctx, mask, yb, wb, dkey):
+        logits = model.apply_pooled(dense, prof, emb_b, emb_i, ctx, mask,
+                                    train=True, key=dkey)
+        losses = (jnp.maximum(logits, 0) - logits * yb +
+                  jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        return jnp.sum(losses * wb) / jnp.maximum(jnp.sum(wb), 1.0)
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))
+
+    # dataset buffers are explicit jit args (never HLO constants); only
+    # mutable state is donated — the relay's AOT compiler handles plain-array
+    # donation fine (NamedSharding donation is the thing that hangs it)
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def epoch_step(dense, opt_state, table, acc,
+                   prof, bids, iids, ctx, y, w, epoch_key):
+        perm_key, drop_key = jax.random.split(epoch_key)
+        if cfg.shuffle:
+            perm = jax.random.permutation(perm_key, n_pad)
+        else:
+            perm = jnp.arange(n_pad)
+        perm = perm.reshape(n_batches, bs)
+
+        def body(carry, batch):
+            dense, opt_state, table, acc = carry
+            idx, b = batch
+            b_prof = jnp.take(prof, idx, axis=0)
+            b_bids = jnp.take(bids, idx, axis=0)
+            b_iids = jnp.take(iids, idx)
+            b_ctx = jnp.take(ctx, idx, axis=0)
+            b_y = jnp.take(y, idx)
+            b_w = jnp.take(w, idx)
+
+            emb_b = jnp.take(table, jnp.maximum(b_bids, 0), axis=0).astype(cd)
+            emb_i = jnp.take(table, b_iids, axis=0).astype(cd)
+            mask = (b_bids >= 0).astype(jnp.float32)
+            dkey = jax.random.fold_in(drop_key, b)
+            loss, (g_dense, g_b, g_i) = grad_fn(
+                dense, emb_b, emb_i, b_prof, b_ctx, mask, b_y, b_w, dkey)
+
+            updates, opt_state = solver.update(g_dense, opt_state, dense)
+            dense = jax.tree.map(lambda p, u: p + u, dense, updates)
+
+            # ---- sparse table update: scatter-add, no [V, D] gradient ----
+            ids_flat = jnp.concatenate([b_bids.reshape(-1), b_iids])
+            g_flat = jnp.concatenate(
+                [g_b.reshape(-1, D), g_i]).astype(jnp.float32)
+            valid = (ids_flat >= 0).astype(jnp.float32)
+            safe = jnp.maximum(ids_flat, 0)
+            g_flat = g_flat * valid[:, None]
+            if topt.kind == "adagrad":
+                row_sq = jnp.sum(g_flat * g_flat, axis=1) * valid
+                acc = acc.at[safe].add(row_sq, mode="drop")
+                scale = topt.lr * jax.lax.rsqrt(
+                    jnp.take(acc, safe) + topt.eps) * valid
+            else:
+                scale = topt.lr * valid
+            table = table.at[safe].add(-scale[:, None] * g_flat, mode="drop")
+            return (dense, opt_state, table, acc), loss
+
+        (dense, opt_state, table, acc), losses = jax.lax.scan(
+            body, (dense, opt_state, table, acc),
+            (perm, jnp.arange(n_batches)))
+        return dense, opt_state, table, acc, jnp.mean(losses)
+
+    best, no_improve = float("inf"), 0
+    loss_curve: list[float] = []
+    epoch_times: list[float] = []
+    for epoch in range(cfg.epochs):
+        te = time.perf_counter()
+        key, ekey = jax.random.split(key)
+        dense_params, opt_state, table, acc, cost = epoch_step(
+            dense_params, opt_state, table, acc,
+            d_prof, d_bids, d_iids, d_ctx, d_y, d_w, ekey)
+        cost = float(cost)                      # device sync: honest timing
+        epoch_times.append(time.perf_counter() - te)
+        loss_curve.append(cost)
+        if cfg.verbose:
+            log.info("epoch %d | cost %.6f | %.2fs", epoch, cost,
+                     epoch_times[-1])
+        if cost < best - cfg.tol:
+            best, no_improve = cost, 0
+        else:
+            no_improve += 1
+        if cfg.early_stop and no_improve >= cfg.early_stop:
+            break
+
+    return TrainedScanned(model=model, dense_params=dense_params, table=table,
+                          loss_curve=loss_curve, epoch_times=epoch_times,
+                          opt_state=opt_state, acc=acc)
+
+
+def model_flops_per_example(model: SparseCTR, T: int) -> float:
+    """Analytic training FLOPs per example (fwd + bwd ≈ 3× fwd for matmuls).
+
+    Counts the dense tower matmuls (the MXU work) plus the attention pool's
+    vector ops; embedding gather/scatter moves bytes, not FLOPs, and is
+    excluded — this is the standard MFU numerator.
+    """
+    D = model.emb_dim
+    dims = (model.concat_dim,) + tuple(model.hidden) + (1,)
+    macs = sum(dims[i] * dims[i + 1] for i in range(len(dims) - 1))
+    mlp_train = 6.0 * macs                       # 2 FLOPs/MAC × 3 (fwd+bwd)
+    attn = 3.0 * (4.0 * T * D)                   # cos-sim + gate + pool
+    return mlp_train + attn

@@ -69,26 +69,29 @@ class SparseCTR:
             "bias": [jnp.zeros((d,), jnp.float32) for d in dims[1:]],
         }
 
-    def apply(self, params: dict, batch: SparseBatch, mesh: Mesh, *,
-              train: bool = False,
-              key: Optional[jax.Array] = None) -> jax.Array:
+    def apply_pooled(self, params: dict, profile: jax.Array,
+                     behaviors: jax.Array, item: jax.Array, ctx: jax.Array,
+                     mask: jax.Array, *, train: bool = False,
+                     key: Optional[jax.Array] = None) -> jax.Array:
+        """Dense tower over pre-gathered embeddings: behaviors [B, T, D],
+        item [B, D], mask [B, T] (1 for real behaviors, 0 for −1 pads).
+        Split out of apply() so trainers that manage the embedding table
+        themselves (parallel/scanned.py: scatter-add sparse updates, no
+        dense [V, D] gradient) can differentiate w.r.t. the gathered rows."""
         cd = self.compute_dtype
-        # sharded gathers: behaviors [B, T, D], item [B, D]
-        behaviors = sharded_lookup(params["item_table"], batch.behavior_ids,
-                                   mesh).astype(cd)
-        item = sharded_lookup(params["item_table"], batch.item_ids,
-                              mesh).astype(cd)
+        behaviors = behaviors.astype(cd)
+        item = item.astype(cd)
 
         # DIN-style gated attention pool (din.go:231-298 semantics)
         weight = (cosine_similarity(behaviors, item[:, None, :]) + 1.0) * 0.5
         gate = jax.nn.sigmoid(weight * params["att0"].astype(cd))
-        mask = (batch.behavior_ids >= 0).astype(cd)
-        gated = behaviors * (gate * mask)[..., None]
-        denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
+        gated = behaviors * (gate * mask.astype(cd))[..., None]
+        denom = jnp.maximum(jnp.sum(mask.astype(cd), axis=1, keepdims=True),
+                            1.0)
         pooled = jnp.sum(gated, axis=1) / denom
 
-        h = jnp.concatenate([batch.user_profile.astype(cd), pooled, item,
-                             batch.ctx.astype(cd)], axis=1)
+        h = jnp.concatenate([profile.astype(cd), pooled, item,
+                             ctx.astype(cd)], axis=1)
         act = ACTIVATIONS[self.activation]
         n_layers = len(params["mlp"])
         if key is not None:
@@ -102,3 +105,14 @@ class SparseCTR:
                              dkeys[i] if key is not None else None, train)
                 h = h.astype(cd)
         return h[:, 0].astype(jnp.float32)   # logits
+
+    def apply(self, params: dict, batch: SparseBatch, mesh: Mesh, *,
+              train: bool = False,
+              key: Optional[jax.Array] = None) -> jax.Array:
+        # sharded gathers: behaviors [B, T, D], item [B, D]
+        behaviors = sharded_lookup(params["item_table"], batch.behavior_ids,
+                                   mesh)
+        item = sharded_lookup(params["item_table"], batch.item_ids, mesh)
+        mask = (batch.behavior_ids >= 0).astype(jnp.float32)
+        return self.apply_pooled(params, batch.user_profile, behaviors, item,
+                                 batch.ctx, mask, train=train, key=key)

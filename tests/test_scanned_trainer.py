@@ -1,0 +1,93 @@
+"""Scanned single-device SparseCTR trainer: one dispatch per epoch, sparse
+scatter-add table updates (no dense [V, D] gradient), adagrad/sgd row-wise
+optimizers. Must learn the same planted id-level signal as the sharded
+trainer (tests/test_sparse_trainer.py)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from goctr_tpu.core.metrics import roc_auc_score
+from goctr_tpu.models.trainer import TrainerConfig
+from goctr_tpu.parallel.scanned import (
+    TableOptConfig, model_flops_per_example, train_sparse_scanned,
+)
+from goctr_tpu.parallel.sparse_ctr import SparseCTR
+from goctr_tpu.parallel.sparse_trainer import SparseSample
+
+
+def _planted(n, vocab, t=5, seed=0):
+    """Same rule as test_sparse_trainer._planted: label = item-parity ==
+    behavior-majority parity, learnable only through embeddings."""
+    rng = np.random.default_rng(seed)
+    taste = rng.integers(0, 2, n)
+    bids = np.where(rng.random((n, t)) < 0.85,
+                    rng.integers(0, vocab // 2, (n, t)) * 2 + taste[:, None],
+                    rng.integers(0, vocab, (n, t))).astype(np.int32)
+    # pad a few behaviors to exercise the -1 mask path
+    bids[rng.random((n, t)) < 0.1] = -1
+    iids = (rng.integers(0, vocab // 2, n) * 2 +
+            rng.integers(0, 2, n)).astype(np.int32)
+    y = ((iids % 2) == taste).astype(np.float32)
+    return SparseSample(
+        user_profile=rng.random((n, 4)).astype(np.float32),
+        behavior_ids=bids, item_ids=iids,
+        ctx=rng.random((n, 2)).astype(np.float32), labels=y)
+
+
+@pytest.mark.parametrize("kind", ["adagrad", "sgd"])
+def test_scanned_learns_planted_signal(kind):
+    vocab = 200
+    train = _planted(8000, vocab, seed=0)
+    test = _planted(1000, vocab, seed=1)
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(64, 32))
+    cfg = TrainerConfig(batch_size=1024, epochs=10, early_stop=0, lr=1e-2,
+                        l2=0.0)
+    lr = 0.3 if kind == "adagrad" else 30.0
+    r = train_sparse_scanned(model, train, cfg,
+                             TableOptConfig(kind=kind, lr=lr))
+    assert r.loss_curve[-1] < r.loss_curve[0] * 0.9
+    auc = roc_auc_score(test.labels, r.predict(test))
+    assert auc > 0.8, f"{kind} AUC {auc}"
+
+
+def test_scanned_bf16_and_ragged_predict():
+    vocab = 300
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(16,),
+                      compute_dtype=jnp.bfloat16)
+    train = _planted(1000, vocab, seed=2)
+    r = train_sparse_scanned(model, train,
+                             TrainerConfig(batch_size=256, epochs=2,
+                                           early_stop=0))
+    # master weights stay f32
+    assert r.table.dtype == jnp.float32
+    assert all(w.dtype == jnp.float32 for w in r.dense_params["mlp"])
+    test = _planted(333, vocab, seed=3)   # non-divisible: pads last bucket
+    scores = r.predict(test, batch_size=128)
+    assert scores.shape == (333,)
+    assert np.all((scores >= 0) & (scores <= 1))
+    assert np.all(np.isfinite(scores))
+
+
+def test_scanned_padded_tail_rows_ignored():
+    """n not divisible by batch: padded rows carry weight 0 and must not
+    corrupt the table (their ids are real row 0 after clamping)."""
+    vocab = 100
+    train = _planted(1000, vocab, seed=4)
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(16,))
+    r = train_sparse_scanned(model, train,
+                             TrainerConfig(batch_size=300, epochs=1,
+                                           early_stop=0, shuffle=False))
+    assert np.all(np.isfinite(np.asarray(r.table)))
+    assert len(r.loss_curve) == 1
+
+
+def test_model_flops_per_example_counts_tower():
+    model = SparseCTR(item_vocab=10, emb_dim=16, u_profile_dim=8, ctx_dim=4,
+                      behavior_len=10, hidden=(200, 80))
+    f = model_flops_per_example(model, T=10)
+    concat = 8 + 2 * 16 + 4
+    macs = concat * 200 + 200 * 80 + 80 * 1
+    assert f == pytest.approx(6 * macs + 3 * 4 * 10 * 16)
