@@ -1,55 +1,102 @@
 """Benchmark harness — prints ONE JSON line.
 
-Headline metric: DIN training throughput (examples/s) on the flagship ranker
-at MovieLens dims, vs the reference's CPU baseline. The reference trains MLP
-on 79,948 MovieLens-100k samples in 28 s (~2,855 ex/s end-to-end,
-/root/reference/README.md:160-165); that is the vs_baseline denominator.
+Headline workload: MovieLens-20M-scale sparse CTR training on one chip —
+a 10M-row learned embedding table (vocab beyond the reference's frozen
+in-RAM map design, rcmd.go:501-531) trained jointly with a (1024, 512, 256)
+DIN-attention tower in bf16 over 5M raw-id examples, via the scanned
+device-resident trainer (one dispatch per epoch; sparse scatter-add table
+updates). This is the BASELINE config-#5-scale workload VERDICT r1 asked
+for, with the MFU accounting in the JSON so the number can't flatter a toy:
+
+  value                  examples/s, steady-state (epochs after the first)
+  model_flops_per_example  analytic fwd+bwd tower FLOPs (gather excluded)
+  mfu_pct                value × flops/ex ÷ 197 TFLOP/s (v5e bf16 peak)
+  vs_baseline            vs the reference's 2,855 ex/s end-to-end CPU run
+                         (79,948 samples / 28 s, README.md:160-165)
+
+Run `python bench.py --smoke` for a tiny-shape CI-sized version.
 """
 from __future__ import annotations
 
 import json
-import time
+import sys
 
 import numpy as np
 
 # reference: 79,948 samples / 28 s wall for a full train run (README.md:160-165)
 BASELINE_EXAMPLES_PER_S = 79_948 / 28.0
+V5E_BF16_PEAK_FLOPS = 197e12
+
+
+def make_workload(n, vocab, t, u, c, seed=0):
+    """Planted-parity sparse sample: label = item parity == behavior-majority
+    parity (same rule as tests/test_sparse_trainer.py) so the benchmark is a
+    real learning workload, not noise-fitting."""
+    from goctr_tpu.parallel.sparse_trainer import SparseSample
+
+    rng = np.random.default_rng(seed)
+    taste = rng.integers(0, 2, n)
+    bids = np.where(
+        rng.random((n, t)) < 0.85,
+        rng.integers(0, vocab // 2, (n, t), dtype=np.int64) * 2
+        + taste[:, None],
+        rng.integers(0, vocab, (n, t), dtype=np.int64)).astype(np.int32)
+    iids = (rng.integers(0, vocab // 2, n, dtype=np.int64) * 2
+            + rng.integers(0, 2, n)).astype(np.int32)
+    y = ((iids % 2) == taste).astype(np.float32)
+    return SparseSample(
+        user_profile=rng.random((n, u), dtype=np.float32),
+        behavior_ids=bids, item_ids=iids,
+        ctx=rng.random((n, c), dtype=np.float32), labels=y)
 
 
 def main() -> None:
-    import jax
+    smoke = "--smoke" in sys.argv
 
     from goctr_tpu.core.runtime import enable_compilation_cache
     enable_compilation_cache()
 
-    from goctr_tpu.models import DIN, SampleInfo, TrainSample, train_ranker
+    import jax.numpy as jnp
+
     from goctr_tpu.models.trainer import TrainerConfig
+    from goctr_tpu.parallel.scanned import (
+        TableOptConfig, model_flops_per_example, train_sparse_scanned,
+    )
+    from goctr_tpu.parallel.sparse_ctr import SparseCTR
 
-    U, T, D, I, C = 8, 10, 16, 16, 4
-    W = U + T * D + I + C
-    info = SampleInfo((0, U), (U, U + T * D), (U + T * D, U + T * D + I),
-                      (U + T * D + I, W))
-    n = 200_000
-    rng = np.random.default_rng(0)
-    x = rng.random((n, W)).astype(np.float32)
-    y = (rng.random(n) > 0.5).astype(np.float32)
-    sample = TrainSample(x=x, y=y, info=info)
+    if smoke:
+        n, vocab, t, u, c = 20_000, 10_000, 8, 8, 4
+        hidden, bs, epochs = (64, 32), 4096, 3
+    else:
+        n, vocab, t, u, c = 5_000_000, 10_000_000, 32, 48, 16
+        hidden, bs, epochs = (1024, 512, 256), 32_768, 4
 
-    model = DIN(U, T, D, I, C, activation="relu")
-    epochs = 8
-    cfg = TrainerConfig(batch_size=8192, epochs=epochs, early_stop=0,
+    model = SparseCTR(item_vocab=vocab, emb_dim=64, u_profile_dim=u,
+                      ctx_dim=c, behavior_len=t, hidden=hidden,
+                      activation="relu", compute_dtype=jnp.bfloat16)
+    sample = make_workload(n, vocab, t, u, c)
+    cfg = TrainerConfig(batch_size=bs, epochs=epochs, early_stop=0,
                         lr=1e-3, shuffle=True, seed=0)
+    ranker = train_sparse_scanned(model, sample, cfg,
+                                  TableOptConfig(kind="adagrad", lr=0.1))
 
-    ranker = train_ranker(model, sample, cfg)
     # first epoch includes jit compile; steady state = epochs 2..n
     steady = ranker.epoch_times[1:]
     examples_per_s = len(steady) * n / sum(steady)
+    flops_ex = model_flops_per_example(model, t)
+    mfu_pct = 100.0 * examples_per_s * flops_ex / V5E_BF16_PEAK_FLOPS
 
     print(json.dumps({
-        "metric": "din_train_examples_per_s",
+        "metric": "sparse_din_train_examples_per_s",
         "value": round(examples_per_s, 1),
         "unit": "examples/s",
         "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 2),
+        "model_flops_per_example": round(flops_ex, 0),
+        "mfu_pct": round(mfu_pct, 2),
+        "workload": (f"sparse_ctr vocab={vocab} dim=64 T={t} "
+                     f"hidden={'x'.join(map(str, hidden))} bf16 "
+                     f"rows={n} batch={bs} loss_last="
+                     f"{round(ranker.loss_curve[-1], 4)}"),
     }))
 
 
