@@ -67,12 +67,44 @@ def _single_device(mesh: Mesh) -> bool:
     return mesh.shape[MODEL_AXIS] == 1 and mesh.shape[DATA_AXIS] == 1
 
 
-def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh) -> jax.Array:
+def _dedup_flat(flat: jax.Array, cap: int):
+    """Static-shape batch dedup: sort, mark run starts, compact the unique
+    values into a [cap] buffer, and return per-position slot indices.
+
+    Returns (uniq [cap] — unique ids, -1 padded; inv [n] — slot of each
+    original position; n_unique [] — actual unique count). If n_unique >
+    cap, ids beyond the cap are DROPPED from `uniq` (their `inv` slots
+    clip) — callers choose `cap` from measured batch uniqueness and may
+    assert `n_unique <= cap` outside jit (see sharded_lookup docstring).
+    """
+    n = flat.shape[0]
+    order = jnp.argsort(flat)
+    s = jnp.take(flat, order)
+    new = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    slot_sorted = jnp.cumsum(new) - 1                  # [n], 0-based slots
+    uniq = jnp.full((cap,), -1, flat.dtype).at[slot_sorted].set(
+        s, mode="drop")
+    inv = jnp.zeros((n,), slot_sorted.dtype).at[order].set(slot_sorted)
+    return uniq, inv, slot_sorted[-1] + 1
+
+
+def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
+                   dedup_cap: int = 0) -> jax.Array:
     """ids [B, ...] int32 → embeddings [B, ..., D], batch-sharded over data.
 
     Negative ids (padding) return zero vectors. On a 1×1 mesh this is a
     plain gather — no shard_map (which some single-chip PJRT backends,
     including this environment's axon relay, cannot compile).
+
+    dedup_cap > 0 enables deduplicated exchange (SURVEY.md §7 hard part
+    (b)): each data shard sorts its local id batch, gathers + psums only
+    the ≤cap unique rows ([cap, D] over ICI instead of [n_local_ids, D] —
+    an n/cap traffic cut for CTR batches, where hot items repeat heavily),
+    then expands locally with a comm-free take. `cap` bounds per-shard
+    batch uniqueness and is a STATIC shape: choose it from measured data
+    (e.g. np.unique on a sample of host batches); ids beyond cap silently
+    clip, so keep headroom. Exact whenever per-shard uniques ≤ cap —
+    asserted in tests/test_parallel.py on the virtual mesh.
     """
     if _single_device(mesh):
         emb = jnp.take(table, jnp.maximum(ids, 0), axis=0)
@@ -85,9 +117,19 @@ def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh) -> jax.Array:
              out_specs=P(DATA_AXIS),
              check_vma=False)
     def run(local_rows, local_ids):
-        neg = local_ids < 0
-        out = _local_gather(local_rows, jnp.maximum(local_ids, 0), n_shards)
-        return jnp.where(neg[..., None], 0.0, out)
+        if not dedup_cap:
+            neg = local_ids < 0
+            out = _local_gather(local_rows, jnp.maximum(local_ids, 0),
+                                n_shards)
+            return jnp.where(neg[..., None], 0.0, out)
+
+        flat = local_ids.reshape(-1)
+        cap = min(dedup_cap, flat.shape[0])
+        uniq, inv, _ = _dedup_flat(flat, cap)
+        emb_u = _local_gather(local_rows, jnp.maximum(uniq, 0), n_shards)
+        emb_u = jnp.where(uniq[:, None] < 0, 0.0, emb_u)   # [cap, D]
+        out = jnp.take(emb_u, jnp.clip(inv, 0, cap - 1), axis=0)
+        return out.reshape(local_ids.shape + (local_rows.shape[1],))
 
     return run(table, ids)
 

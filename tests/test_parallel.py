@@ -76,6 +76,45 @@ def test_lookup_gradient_scatter(mesh):
     np.testing.assert_allclose(g[:, 0], counts, rtol=1e-6)
 
 
+def test_dedup_lookup_matches_direct(mesh):
+    """dedup_cap path (sorted unique exchange) must be exact when the
+    per-shard unique count fits the cap — forward AND gradient."""
+    spec = EmbeddingSpec("t", vocab=64, dim=8)
+    table = init_table(jax.random.key(5), spec, mesh)
+    rng = np.random.default_rng(2)
+    # heavy repetition (8 hot ids) + pads; 32 rows over data=4 → 8/shard
+    ids = rng.choice([1, 2, 3, 40, 41, 42, 63, 0], size=(32, 6)).astype(np.int32)
+    ids[rng.random((32, 6)) < 0.2] = -1
+    ids = jnp.asarray(ids)
+
+    want = sharded_lookup(table, ids, mesh)
+    got = sharded_lookup(table, ids, mesh, dedup_cap=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+    def loss_direct(tbl):
+        return jnp.sum(sharded_lookup(tbl, ids, mesh) ** 2)
+
+    def loss_dedup(tbl):
+        return jnp.sum(sharded_lookup(tbl, ids, mesh, dedup_cap=16) ** 2)
+
+    g1 = np.asarray(jax.grad(loss_direct)(table))
+    g2 = np.asarray(jax.grad(loss_dedup)(table))
+    np.testing.assert_allclose(g2, g1, rtol=1e-5)
+
+
+def test_dedup_flat_semantics():
+    from goctr_tpu.parallel.embedding import _dedup_flat
+
+    flat = jnp.asarray([5, 3, 5, 5, -1, 3, 9], jnp.int32)
+    uniq, inv, n_unique = _dedup_flat(flat, cap=8)
+    assert int(n_unique) == 4                      # {-1, 3, 5, 9}
+    u = np.asarray(uniq)
+    np.testing.assert_array_equal(u[:4], [-1, 3, 5, 9])
+    np.testing.assert_array_equal(u[4:], -1)       # padding
+    # every position maps back to its own value
+    np.testing.assert_array_equal(u[np.asarray(inv)], np.asarray(flat))
+
+
 def test_sparse_ctr_sharded_train_step_runs_and_learns(mesh):
     model = SparseCTR(item_vocab=1000, emb_dim=8, u_profile_dim=4, ctx_dim=2,
                       behavior_len=5, hidden=(32, 16))
