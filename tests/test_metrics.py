@@ -75,6 +75,36 @@ def test_gauc_weighting(rng):
         assert 0.0 <= v <= 1.0
 
 
+def test_gauc_jit_matches_np(rng):
+    """On-device segment GAUC must equal the exact host loop, including with
+    score ties, singleton groups, and single-class groups."""
+    import jax.numpy as jnp
+
+    for trial in range(4):
+        n = 500 + 17 * trial
+        y = rng.integers(0, 2, n)
+        # quantized scores force plenty of ties
+        s = np.round(rng.random(n), 2 if trial % 2 else 4)
+        g = rng.integers(0, 10 + 30 * trial, n)
+        want = M.gauc_np(y, s, g, weight="count")
+        got = float(M.gauc_jit(jnp.asarray(s), jnp.asarray(y), jnp.asarray(g)))
+        assert got == pytest.approx(want, abs=1e-5), f"trial {trial}"
+
+
+def test_gauc_jit_edge_cases():
+    import jax.numpy as jnp
+
+    # perfectly ranked vs inverted groups (matches test_gauc_basic)
+    y = jnp.array([1, 0, 1, 0], jnp.float32)
+    s = jnp.array([0.9, 0.1, 0.1, 0.9], jnp.float32)
+    g = jnp.array([1, 1, 2, 2])
+    assert float(M.gauc_jit(s, y, g)) == pytest.approx(0.5)
+    # single-class group skipped
+    y = jnp.array([1, 1, 1, 0], jnp.float32)
+    s = jnp.array([0.9, 0.8, 0.7, 0.1], jnp.float32)
+    assert float(M.gauc_jit(s, y, g)) == pytest.approx(1.0)
+
+
 def test_classification_metrics(rng):
     y = rng.integers(0, 3, 200)
     p = rng.integers(0, 3, 200)
