@@ -264,6 +264,54 @@ class MovielensRec:
             "rating_hist": hist,
         }
 
+    def get_feature_distributions(self, ctx: Context, kind: str = "items",
+                                  bins: int = 12, sample: int = 1000) -> dict:
+        """Per-feature histograms over assembled feature vectors — the
+        data source behind the dashboard's feature-distribution charts
+        (the echarts views in the reference frontend,
+        frontend/src/views/overview/index.vue). Scalar features get named
+        columns; the 5×10 hash-one-hot genre blocks are summarized by their
+        per-row active-bucket count instead of 50 near-constant columns."""
+        if kind == "users":
+            ids = [int(u) for (u,) in self.db.execute(
+                f"SELECT userId FROM user LIMIT {int(sample)}")]
+            feats = self.get_user_features_batch(ctx, ids)
+            scalar_cols = {"avg_rating": 0, "cnt_rating": 1}
+            genre_block = (2, 52)
+        else:
+            if not self.m_rating_map:
+                self.pre_train(ctx)
+            ids = [int(m) for (m,) in self.db.execute(
+                f"SELECT movieId FROM movies LIMIT {int(sample)}")]
+            feats = self.get_item_features_batch(ctx, ids)
+            scalar_cols = {"year": 50, "avg_rating": 51, "cnt_rating": 52}
+            genre_block = (0, 50)
+        if not feats:
+            return {"features": []}
+        mat = np.stack(list(feats.values()))
+        out = []
+        for name, col in scalar_cols.items():
+            v = mat[:, col]
+            counts, edges = np.histogram(v, bins=bins)
+            out.append({
+                "feature": name,
+                "buckets": [{"x": f"{edges[i]:.2g}", "count": int(c)}
+                            for i, c in enumerate(counts)],
+                "min": float(v.min()), "max": float(v.max()),
+                "mean": float(v.mean()),
+            })
+        g0, g1 = genre_block
+        active = (np.abs(mat[:, g0:g1]) > 1e-9).sum(axis=1)
+        counts, edges = np.histogram(active, bins=min(bins, 10))
+        out.append({
+            "feature": "genre_active_dims",
+            "buckets": [{"x": f"{edges[i]:.0f}", "count": int(c)}
+                        for i, c in enumerate(counts)],
+            "min": float(active.min()), "max": float(active.max()),
+            "mean": float(active.mean()),
+        })
+        return {"features": out, "kind": kind, "sampled": int(mat.shape[0])}
+
     # -------------------------------------------------------------- eval ---
     def test_samples(self, limit: int = 0) -> list[Sample]:
         q = ("SELECT userId, movieId, rating, timestamp FROM ratings_test "

@@ -101,3 +101,39 @@ def fused_gather_pool(table, ids, combiner: str = "sum", *,
         return fused_gather_pool_pallas(table, ids, combiner,
                                         interpret=interpret)
     return fused_gather_pool_jnp(table, ids, combiner)
+
+
+# --------------------------------------------------------------- trainable --
+
+@jax.custom_vjp
+def gather_pool_mean(table: jax.Array, ids: jax.Array) -> jax.Array:
+    """Trainable mean-pool lookup: table [V, D], ids [B, K] (−1 pad) →
+    [B, D]. Forward streams through the Pallas kernel on TPU — the [B, K, D]
+    intermediate never touches HBM and is not saved as a residual; backward
+    is the closed-form scatter of g_pooled/count into a table-shaped
+    cotangent (the standard take-transpose; trainers that must avoid the
+    [V, D] cotangent entirely use parallel/scanned.py's manual updates).
+    Production entry for sharded_pooled_lookup's single-device path
+    (goctr_tpu/parallel/embedding.py)."""
+    return _gather_pool_mean_fwd(table, ids)[0]
+
+
+def _gather_pool_mean_fwd(table, ids):
+    if jax.default_backend() == "tpu" and ids.shape[1] >= 8:
+        pooled = fused_gather_pool_pallas(table, ids, "mean")
+    else:
+        pooled = fused_gather_pool_jnp(table, ids, "mean")
+    return pooled, (table.shape, ids)
+
+
+def _gather_pool_mean_bwd(res, g):
+    (v, d), ids = res
+    count = jnp.maximum(jnp.sum((ids >= 0).astype(g.dtype), axis=1,
+                                keepdims=True), 1.0)
+    g_rows = (g / count)[:, None, :] * (ids >= 0).astype(g.dtype)[..., None]
+    g_table = jnp.zeros((v, d), g.dtype).at[jnp.maximum(ids, 0)].add(
+        g_rows, mode="drop")
+    return g_table, None
+
+
+gather_pool_mean.defvjp(_gather_pool_mean_fwd, _gather_pool_mean_bwd)

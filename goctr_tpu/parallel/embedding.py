@@ -143,13 +143,13 @@ def sharded_pooled_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
     (reference StringSplitMultiHot semantics at embedding scale).
     """
     if _single_device(mesh):
+        if combiner == "mean":
+            # fused Pallas gather+pool on TPU: [B, K, D] never hits HBM
+            from goctr_tpu.ops.pallas.embedding_lookup import gather_pool_mean
+            return gather_pool_mean(table, ids)
         valid = (ids >= 0).astype(table.dtype)
         emb = jnp.take(table, jnp.maximum(ids, 0), axis=0)
-        pooled = jnp.sum(emb * valid[..., None], axis=1)
-        if combiner == "mean":
-            pooled = pooled / jnp.maximum(
-                jnp.sum(valid, axis=1, keepdims=True), 1.0)
-        return pooled
+        return jnp.sum(emb * valid[..., None], axis=1)
 
     n_shards = mesh.shape[MODEL_AXIS]
 

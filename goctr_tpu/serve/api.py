@@ -7,6 +7,7 @@ Endpoint/schema parity with the reference gin server
   GET  /service/useritems    ?page=&size= → users feature overview
   GET  /service/items        ?page=&size= → items feature overview
   GET  /service/overview     dashboard counts
+  GET  /service/featuredist  ?kind=items|users → per-feature histograms
   GET  /                     embedded dashboard page
 
 stdlib http.server (no FastAPI in this image); ThreadingHTTPServer gives
@@ -65,6 +66,11 @@ class RecApiServer:
             if not hasattr(rs, "get_items_feature_overview"):
                 return 200, "do not support item overview"
             return 200, rs.get_items_feature_overview(ctx, offset, size, opts)
+        if which == "featuredist":
+            if not hasattr(rs, "get_feature_distributions"):
+                return 200, "do not support feature distributions"
+            kind = (opts.get("kind") or ["items"])[0]
+            return 200, rs.get_feature_distributions(ctx, kind=kind)
         if not hasattr(rs, "get_dashboard_overview"):
             return 200, "do not support overview"
         return 200, rs.get_dashboard_overview(ctx)

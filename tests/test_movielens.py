@@ -201,6 +201,18 @@ def test_http_serving_roundtrip(predictor):
             items = json.loads(r.read())
         assert len(items["items"]) == 5
 
+        # per-feature distribution charts' data source (reference frontend
+        # echarts views, frontend/src/views/overview/index.vue)
+        for kind in ("items", "users"):
+            with urllib.request.urlopen(
+                    base + f"/service/featuredist?kind={kind}") as r:
+                fd = json.loads(r.read())
+            assert fd["kind"] == kind and fd["sampled"] > 0
+            names = {f["feature"] for f in fd["features"]}
+            assert {"avg_rating", "cnt_rating", "genre_active_dims"} <= names
+            for f in fd["features"]:
+                assert sum(b["count"] for b in f["buckets"]) == fd["sampled"]
+
         # error paths: empty itemIdList → 400 (api.go:116)
         req = urllib.request.Request(
             base + "/api/v1/recommend",
@@ -214,7 +226,8 @@ def test_http_serving_roundtrip(predictor):
             html = r.read().decode()
         assert "dashboard" in html.lower()
         # SPA views mirroring the reference frontend (frontend/src/views/)
-        for view in ("#/overview", "#/users", "#/items", "#/login"):
+        for view in ("#/overview", "#/users", "#/items", "#/features",
+                     "#/login"):
             assert view in html
     finally:
         server.stop()

@@ -67,3 +67,48 @@ def test_fused_gather_pool_matches_take(rng, combiner):
     got = fused_gather_pool_pallas(table, ids, combiner, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_gather_pool_mean_custom_vjp(rng):
+    """Trainable fused pool: forward matches the jnp path, gradient matches
+    autodiff through take+mean (including −1 pads)."""
+    from goctr_tpu.ops.pallas.embedding_lookup import (
+        fused_gather_pool_jnp, gather_pool_mean,
+    )
+    v, d, b, k = 50, 8, 16, 12
+    table = jnp.asarray(rng.normal(0, 1, (v, d)).astype(np.float32))
+    ids = rng.integers(0, v, (b, k)).astype(np.int32)
+    ids[rng.random((b, k)) < 0.25] = -1
+    ids = jnp.asarray(ids)
+
+    got = gather_pool_mean(table, ids)
+    want = fused_gather_pool_jnp(table, ids, "mean")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-6)
+
+    def loss_fused(t):
+        return jnp.sum(gather_pool_mean(t, ids) ** 2)
+
+    def loss_ref(t):
+        return jnp.sum(fused_gather_pool_jnp(t, ids, "mean") ** 2)
+
+    g1 = np.asarray(jax.grad(loss_fused)(table))
+    g2 = np.asarray(jax.grad(loss_ref)(table))
+    np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-6)
+
+
+def test_single_device_pooled_lookup_uses_fused_path(rng):
+    """sharded_pooled_lookup(mean) on a 1x1 mesh routes through
+    gather_pool_mean and stays numerically identical."""
+    from goctr_tpu.core.meshes import MeshSpec, make_mesh
+    from goctr_tpu.ops.pallas.embedding_lookup import fused_gather_pool_jnp
+    from goctr_tpu.parallel.embedding import sharded_pooled_lookup
+
+    mesh = make_mesh(MeshSpec(data=1, model=1), devices=jax.devices()[:1])
+    table = jnp.asarray(rng.normal(0, 1, (40, 4)).astype(np.float32))
+    ids = jnp.asarray([[1, 2, -1], [7, -1, -1], [3, 4, 5], [-1, -1, -1]],
+                      jnp.int32)
+    got = sharded_pooled_lookup(table, ids, mesh, combiner="mean")
+    want = fused_gather_pool_jnp(table, ids, "mean")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-6)
