@@ -345,6 +345,13 @@ class Word2Vec:
                     per = jnp.take(cnt, ids, mode="clip")
                     return jnp.minimum(1.0, cap / jnp.maximum(per, 1.0))
 
+                # all table writes go through the sorted/dedup'd scatter
+                # (ops/scatter.py): duplicate rows are segment-summed on
+                # device so XLA emits the collision-free scatter fast path —
+                # numerically identical to .at[].add, order of fp adds aside
+                from goctr_tpu.ops.scatter import scatter_add_dedup
+
+                dim = w_in.shape[1]
                 if is_hs:
                     paths = jnp.take(tab_a, targets, axis=0)       # [B,P]
                     codes = jnp.take(tab_b, targets, axis=0)       # [B,P]
@@ -356,8 +363,9 @@ class Word2Vec:
                     g = (1.0 - codes - f) * pmask * lr             # [B,P]
                     dv = jnp.einsum("bp,bpd->bd", g, u)
                     gs = g * row_scale(p_safe, pmask, w_out.shape[0])
-                    w_out = w_out.at[p_safe].add(
-                        gs[..., None] * v[:, None, :], mode="drop")
+                    w_out = scatter_add_dedup(
+                        w_out, jnp.where(pmask > 0, p_safe, -1).reshape(-1),
+                        (gs[..., None] * v[:, None, :]).reshape(-1, dim))
                 else:
                     kkey = jax.random.fold_in(key, b)
                     negs = jnp.take(
@@ -373,19 +381,23 @@ class Word2Vec:
                     g = (labels - jax.nn.sigmoid(z)) * t_mask[:, None] * lr
                     dv = jnp.einsum("bk,bkd->bd", g, u)
                     gs = g * row_scale(ids, jnp.ones_like(g), w_out.shape[0])
-                    w_out = w_out.at[ids].add(
-                        gs[..., None] * v[:, None, :], mode="drop")
+                    w_out = scatter_add_dedup(
+                        w_out, ids.reshape(-1),
+                        (gs[..., None] * v[:, None, :]).reshape(-1, dim))
 
                 if is_cbow:
                     sc = row_scale(ctx_safe, ctx_m, w_in.shape[0])
                     upd = ((dv / denom)[:, None, :]
                            * (ctx_m * sc)[..., None])
-                    w_in = w_in.at[ctx_safe].add(upd, mode="drop")
+                    w_in = scatter_add_dedup(
+                        w_in, jnp.where(ctx_m > 0, ctx_safe, -1).reshape(-1),
+                        upd.reshape(-1, dim))
                 else:
                     in_ids = jnp.maximum(ctx, 0)
                     sc = row_scale(in_ids, t_mask, w_in.shape[0])
-                    w_in = w_in.at[in_ids].add(
-                        dv * (t_mask * sc)[:, None], mode="drop")
+                    w_in = scatter_add_dedup(
+                        w_in, jnp.where(t_mask > 0, in_ids, -1),
+                        dv * (t_mask * sc)[:, None])
                 return (w_in, w_out), None
 
             (w_in, w_out), _ = jax.lax.scan(

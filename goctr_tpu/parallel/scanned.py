@@ -50,10 +50,21 @@ log = logging.getLogger(__name__)
 
 @dataclasses.dataclass
 class TableOptConfig:
-    """Row-wise optimizer for the embedding table."""
+    """Row-wise optimizer for the embedding table.
+
+    update_mode selects the scatter strategy (measured on a v5e, 10M×64
+    table, 1.08M update rows/batch — see BENCH_NOTES.md):
+      * ``dedup``  — sort ids, segment-sum duplicate rows, one scatter with
+                     sorted+unique index guarantees. Fastest by an order of
+                     magnitude (XLA serializes scatters that may collide)
+                     AND makes adagrad exact (duplicates no longer race).
+      * ``sorted`` — sort ids, scatter with indices_are_sorted only.
+      * ``plain``  — direct .at[ids].add; simplest, slowest at scale.
+    """
     kind: str = "adagrad"       # adagrad | sgd
     lr: float = 0.01
     eps: float = 1e-8
+    update_mode: str = "dedup"  # dedup | sorted | plain
 
 
 @dataclasses.dataclass
@@ -101,6 +112,65 @@ class TrainedScanned:
                          p(sample.ctx))
             out[s:e] = np.asarray(scores)[:e - s]
         return out
+
+
+def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
+                  g_flat: jax.Array, topt: TableOptConfig):
+    """Apply one batch's row gradients to the table (+ adagrad accumulator).
+    Invalid ids (< 0, i.e. behavior padding) contribute nothing."""
+    from goctr_tpu.ops.scatter import dedup_sum_rows, scatter_add_rows
+
+    valid = (ids_flat >= 0).astype(jnp.float32)
+    g_flat = g_flat * valid[:, None]
+    V = table.shape[0]
+
+    if topt.update_mode == "plain":
+        safe = jnp.maximum(ids_flat, 0)
+        if topt.kind == "adagrad":
+            row_sq = jnp.sum(g_flat * g_flat, axis=1) * valid
+            acc = acc.at[safe].add(row_sq, mode="drop")
+            scale = topt.lr * jax.lax.rsqrt(
+                jnp.take(acc, safe) + topt.eps) * valid
+        else:
+            scale = topt.lr * valid
+        table = table.at[safe].add(-scale[:, None] * g_flat, mode="drop")
+        return table, acc
+
+    if topt.update_mode == "sorted":
+        order = jnp.argsort(ids_flat)
+        s_ids = jnp.take(ids_flat, order)      # pads (-1) sort first → dropped
+        s_g = jnp.take(g_flat, order, axis=0)
+        if topt.kind == "adagrad":
+            row_sq = jnp.sum(s_g * s_g, axis=1)
+            acc = scatter_add_rows(acc[:, None], s_ids, row_sq[:, None],
+                                   sorted_ids=True)[:, 0]
+            scale = topt.lr * jax.lax.rsqrt(
+                jnp.take(acc, jnp.maximum(s_ids, 0)) + topt.eps)
+        else:
+            scale = jnp.full_like(s_ids, topt.lr, jnp.float32)
+        table = scatter_add_rows(table, s_ids, -scale[:, None] * s_g,
+                                 sorted_ids=True)
+        return table, acc
+
+    if topt.update_mode != "dedup":
+        raise ValueError(f"unknown update_mode {topt.update_mode!r}")
+
+    # dedup: segment-sum duplicate rows → one collision-free write per
+    # unique id. Also makes adagrad EXACT: the accumulated row gradient is
+    # squared once per batch (standard DLRM row-wise adagrad), no duplicate
+    # racing.
+    uniq, rows = dedup_sum_rows(ids_flat, g_flat, V)
+    if topt.kind == "adagrad":
+        row_sq = jnp.sum(rows * rows, axis=1)
+        acc = scatter_add_rows(acc[:, None], uniq, row_sq[:, None],
+                               sorted_ids=True, unique=True)[:, 0]
+        scale = topt.lr * jax.lax.rsqrt(
+            jnp.take(acc, jnp.clip(uniq, 0, V - 1)) + topt.eps)
+    else:
+        scale = jnp.full(uniq.shape, topt.lr, jnp.float32)
+    table = scatter_add_rows(table, uniq, -scale[:, None] * rows,
+                             sorted_ids=True, unique=True)
+    return table, acc
 
 
 def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
@@ -206,17 +276,7 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
             ids_flat = jnp.concatenate([b_bids.reshape(-1), b_iids])
             g_flat = jnp.concatenate(
                 [g_b.reshape(-1, D), g_i]).astype(jnp.float32)
-            valid = (ids_flat >= 0).astype(jnp.float32)
-            safe = jnp.maximum(ids_flat, 0)
-            g_flat = g_flat * valid[:, None]
-            if topt.kind == "adagrad":
-                row_sq = jnp.sum(g_flat * g_flat, axis=1) * valid
-                acc = acc.at[safe].add(row_sq, mode="drop")
-                scale = topt.lr * jax.lax.rsqrt(
-                    jnp.take(acc, safe) + topt.eps) * valid
-            else:
-                scale = topt.lr * valid
-            table = table.at[safe].add(-scale[:, None] * g_flat, mode="drop")
+            table, acc = _table_update(table, acc, ids_flat, g_flat, topt)
             return (dense, opt_state, table, acc), loss
 
         (dense, opt_state, table, acc), losses = jax.lax.scan(

@@ -34,8 +34,11 @@ def _planted(n, vocab, t=5, seed=0):
         ctx=rng.random((n, 2)).astype(np.float32), labels=y)
 
 
-@pytest.mark.parametrize("kind", ["adagrad", "sgd"])
-def test_scanned_learns_planted_signal(kind):
+@pytest.mark.parametrize("kind,mode", [
+    ("adagrad", "dedup"), ("adagrad", "sorted"), ("adagrad", "plain"),
+    ("sgd", "dedup"), ("sgd", "plain"),
+])
+def test_scanned_learns_planted_signal(kind, mode):
     vocab = 200
     train = _planted(8000, vocab, seed=0)
     test = _planted(1000, vocab, seed=1)
@@ -45,10 +48,33 @@ def test_scanned_learns_planted_signal(kind):
                         l2=0.0)
     lr = 0.3 if kind == "adagrad" else 30.0
     r = train_sparse_scanned(model, train, cfg,
-                             TableOptConfig(kind=kind, lr=lr))
+                             TableOptConfig(kind=kind, lr=lr,
+                                            update_mode=mode))
     assert r.loss_curve[-1] < r.loss_curve[0] * 0.9
     auc = roc_auc_score(test.labels, r.predict(test))
-    assert auc > 0.8, f"{kind} AUC {auc}"
+    assert auc > 0.8, f"{kind}/{mode} AUC {auc}"
+
+
+def test_sgd_update_modes_are_numerically_identical():
+    """SGD is linear in the gradient, so plain / sorted / dedup scatter
+    strategies must produce bit-comparable tables (same sums, fp order
+    aside)."""
+    vocab = 100
+    train = _planted(2000, vocab, seed=7)
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(16,))
+    cfg = TrainerConfig(batch_size=512, epochs=2, early_stop=0,
+                        shuffle=False, seed=3)
+    tables = {}
+    for mode in ("plain", "sorted", "dedup"):
+        r = train_sparse_scanned(model, train, cfg,
+                                 TableOptConfig(kind="sgd", lr=5.0,
+                                                update_mode=mode))
+        tables[mode] = np.asarray(r.table)
+    np.testing.assert_allclose(tables["sorted"], tables["plain"],
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(tables["dedup"], tables["plain"],
+                               rtol=1e-5, atol=1e-7)
 
 
 def test_scanned_bf16_and_ragged_predict():
