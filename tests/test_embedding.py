@@ -85,6 +85,29 @@ def test_word2vec_learns_clusters(model, opt):
     assert intra > inter + 0.2, f"{model}/{opt}: intra {intra} inter {inter}"
 
 
+def test_topk_neighbors_recover_planted_clusters():
+    """The reference's neighbor-quality protocol as a hard gate
+    (/root/reference/README.md:142-157 eyeballs `similar movies`; here the
+    top-5 cosine neighbors of every word must all come from its planted
+    co-occurrence cluster)."""
+    from goctr_tpu.embedding.search import Searcher
+
+    docs = _cluster_corpus(3000)
+    w2v = Word2Vec(Word2VecOptions(
+        dim=16, window=3, iters=3, min_count=1, model="skipgram",
+        optimizer="ns", batch_size=512, seed=1,
+        subsample_threshold=0)).train(docs)
+    emb = embedding_map_from_model(w2v)
+    s = Searcher(dict(zip(*emb.as_arrays())))
+    hits = total = 0
+    for w in emb.as_arrays()[0]:
+        for neighbor, _score in s.search(w, k=5):
+            total += 1
+            hits += neighbor[0] == w[0]     # same cluster prefix a/b
+    assert total == 20 * 5
+    assert hits / total >= 0.95, f"cluster purity {hits}/{total}"
+
+
 def test_train_file_single_chunk_matches_in_memory(tmp_path):
     """Streaming fs-corpus train (word2vec.go:151-196, corpus/fs) with one
     chunk is bit-identical to the in-memory path: same dictionary order,
