@@ -47,6 +47,10 @@ class SparseCTR:
     activation: str = "relu"
     dropout_rate: float = 0.0
     compute_dtype: jnp.dtype = jnp.float32
+    # >0 enables the deduplicated unique-row lookup exchange on sharded
+    # meshes (see parallel/embedding.py sharded_lookup): cap on per-data-
+    # shard unique ids; choose from measured batch uniqueness
+    lookup_dedup_cap: int = 0
 
     @property
     def spec(self) -> EmbeddingSpec:
@@ -111,8 +115,9 @@ class SparseCTR:
               key: Optional[jax.Array] = None) -> jax.Array:
         # sharded gathers: behaviors [B, T, D], item [B, D]
         behaviors = sharded_lookup(params["item_table"], batch.behavior_ids,
-                                   mesh)
-        item = sharded_lookup(params["item_table"], batch.item_ids, mesh)
+                                   mesh, dedup_cap=self.lookup_dedup_cap)
+        item = sharded_lookup(params["item_table"], batch.item_ids, mesh,
+                              dedup_cap=self.lookup_dedup_cap)
         mask = (batch.behavior_ids >= 0).astype(jnp.float32)
         return self.apply_pooled(params, batch.user_profile, behaviors, item,
                                  batch.ctx, mask, train=train, key=key)

@@ -50,6 +50,22 @@ def test_sparse_end_to_end_learns(mesh):
     assert "model" in str(ranker.params["item_table"].sharding.spec)
 
 
+def test_sparse_trainer_with_dedup_lookup(mesh):
+    """End-to-end sharded training with the dedup'd unique-row exchange
+    enabled must learn the same planted signal."""
+    vocab = 200
+    train = _planted(8000, vocab, seed=0)
+    test = _planted(1000, vocab, seed=1)
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(64, 32),
+                      lookup_dedup_cap=256)   # 1024/4 shards × 5 ids fits
+    cfg = TrainerConfig(batch_size=1024, epochs=10, early_stop=0, lr=1e-2,
+                        l2=0.0)
+    ranker = train_sparse(model, train, mesh, cfg)
+    auc = roc_auc_score(test.labels, ranker.predict(test))
+    assert auc > 0.8, auc
+
+
 def test_sparse_predict_ragged(mesh):
     vocab = 500
     model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
