@@ -416,3 +416,59 @@ class Word2Vec:
         if agg and self.opts.optimizer == "ns":
             return self.w_in + self.w_out
         return self.w_in
+
+
+def _cli(argv: Optional[Sequence[str]] = None) -> int:
+    """`python -m goctr_tpu.embedding.word2vec -i corpus.txt -o model.txt ...`
+
+    Flag surface mirroring the reference's cobra bindings
+    (/root/reference/feature/embedding/model/word2vec/options.go:106-126):
+    dim/window/iter/min-count/negative/lr/model/optimizer/thread(batch)/
+    subsample-threshold, plus input/output files.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="goctr_tpu.embedding.word2vec",
+        description="Train item2vec/word2vec from a text corpus "
+                    "(one document per line).")
+    p.add_argument("-i", "--input", required=True, help="corpus file")
+    p.add_argument("-o", "--output", required=True,
+                   help="output text model (`word v1..vn` per line)")
+    p.add_argument("-d", "--dim", type=int, default=10)
+    p.add_argument("-w", "--window", type=int, default=5)
+    p.add_argument("--iter", type=int, default=15)
+    p.add_argument("--min-count", type=int, default=5)
+    p.add_argument("--negative", type=int, default=5)
+    p.add_argument("--lr", type=float, default=0.025)
+    p.add_argument("--model", choices=("skipgram", "cbow"), default="skipgram")
+    p.add_argument("--optimizer", choices=("ns", "hs"), default="ns")
+    p.add_argument("--batch-size", type=int, default=8192)
+    p.add_argument("--subsample-threshold", type=float, default=1e-3)
+    p.add_argument("--to-lower", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--verbose", action="store_true")
+    a = p.parse_args(argv)
+
+    if a.verbose:
+        logging.basicConfig(level=logging.INFO)
+    w2v = Word2Vec(Word2VecOptions(
+        dim=a.dim, window=a.window, iters=a.iter, min_count=a.min_count,
+        negative=a.negative, init_lr=a.lr, model=a.model,
+        optimizer=a.optimizer, batch_size=a.batch_size,
+        subsample_threshold=a.subsample_threshold, to_lower=a.to_lower,
+        seed=a.seed, verbose=a.verbose))
+    w2v.train_file(a.input)
+
+    from goctr_tpu.embedding.store import (
+        embedding_map_from_model, save_embedding_map,
+    )
+    emb = embedding_map_from_model(w2v)
+    save_embedding_map(a.output, emb)
+    log.info("saved %d x %d vectors to %s", len(emb), emb.dim, a.output)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(_cli(sys.argv[1:]))

@@ -29,8 +29,10 @@ from goctr_tpu.ops.activations import cosine_similarity
 # VMEM note: the trailing model dim D pads to the 128-lane tile, inflating a
 # [BB, BT, D] block (and every elementwise temporary) by 128/D when D < 128;
 # blocks are sized so the padded double-buffered footprint + temporaries stay
-# under the ~16MB VMEM budget even at D=16.
-BLOCK_B = 8
+# under the ~16MB VMEM budget even at D=16. BLOCK_B=64 over 8: larger
+# sublane occupancy per program (tiny blocks starve the VPU; see
+# BENCH_NOTES.md kernel measurements).
+BLOCK_B = 64
 BLOCK_T = 256
 
 

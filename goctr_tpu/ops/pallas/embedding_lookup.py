@@ -21,12 +21,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_ROWS_PER_STEP = 8      # output sublane tile (Mosaic: block dims ≥ (8, 128)
+                        # or equal to the array dims)
+
+
 def _kernel(ids_ref, table_ref, out_ref, scratch, sems, *, k: int,
             combiner: str):
-    b = pl.program_id(0)
+    """One grid step pools _ROWS_PER_STEP batch rows: row DMAs stream
+    HBM→VMEM double-buffered across the flattened (row, k) loop."""
+    b0 = pl.program_id(0) * _ROWS_PER_STEP
+    total = _ROWS_PER_STEP * k
 
     def dma(slot, j):
-        row = ids_ref[b, j]
+        row = ids_ref[b0 + j // k, j % k]
         return pltpu.make_async_copy(
             table_ref.at[jnp.maximum(row, 0)],
             scratch.at[slot],
@@ -35,40 +42,47 @@ def _kernel(ids_ref, table_ref, out_ref, scratch, sems, *, k: int,
 
     dma(0, 0).start()
 
-    def body(j, acc_count):
-        acc, count = acc_count
+    def body(j, carry):
+        acc, count = carry                  # [RPS, D], [RPS, 1]
         slot = j % 2
+        r = j // k
 
-        @pl.when(j + 1 < k)
+        @pl.when(j + 1 < total)
         def _():
             dma((j + 1) % 2, j + 1).start()
 
         dma(slot, j).wait()
-        valid = (ids_ref[b, j] >= 0).astype(jnp.float32)
-        acc = acc + scratch[slot] * valid
-        count = count + valid
+        valid = (ids_ref[b0 + r, j % k] >= 0).astype(jnp.float32)
+        row_onehot = (jax.lax.broadcasted_iota(
+            jnp.int32, acc.shape, 0) == r).astype(jnp.float32)
+        acc = acc + row_onehot * scratch[slot][None, :] * valid
+        count = count + row_onehot[:, :1] * valid
         return acc, count
 
     acc, count = jax.lax.fori_loop(
-        0, k, body,
-        (jnp.zeros_like(scratch[0]), jnp.float32(0.0)))
+        0, total, body,
+        (jnp.zeros_like(out_ref), jnp.zeros((out_ref.shape[0], 1),
+                                            jnp.float32)))
     if combiner == "mean":
         acc = acc / jnp.maximum(count, 1.0)
-    out_ref[:] = acc[None, :]
+    out_ref[:] = acc
 
 
 def fused_gather_pool_pallas(table: jax.Array, ids: jax.Array,
                              combiner: str = "sum",
                              interpret: bool = False) -> jax.Array:
-    """table [V, D] (HBM-resident), ids [B, K] int32 (−1 pad) → [B, D]."""
+    """table [V, D] (HBM-resident), ids [B, K] int32 (−1 pad) → [B, D].
+    B must be a multiple of 8 (the output sublane tile)."""
     interpret = interpret or jax.default_backend() == "cpu"
     b, k = ids.shape
     v, d = table.shape
+    if b % _ROWS_PER_STEP:
+        raise ValueError(f"batch {b} must be a multiple of {_ROWS_PER_STEP}")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,             # ids
-        grid=(b,),
+        grid=(b // _ROWS_PER_STEP,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # table in HBM
-        out_specs=pl.BlockSpec((1, d), lambda i, ids: (i, 0),
+        out_specs=pl.BlockSpec((_ROWS_PER_STEP, d), lambda i, ids: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, d), jnp.float32),
@@ -97,7 +111,8 @@ def fused_gather_pool_jnp(table, ids, combiner: str = "sum"):
 def fused_gather_pool(table, ids, combiner: str = "sum", *,
                       min_k_for_pallas: int = 64, interpret: bool = False):
     """Auto-routed fused gather+pool over the K (multi-hot) axis."""
-    if ids.shape[1] >= min_k_for_pallas or interpret:
+    if ((ids.shape[1] >= min_k_for_pallas or interpret)
+            and ids.shape[0] % _ROWS_PER_STEP == 0):
         return fused_gather_pool_pallas(table, ids, combiner,
                                         interpret=interpret)
     return fused_gather_pool_jnp(table, ids, combiner)
@@ -119,7 +134,8 @@ def gather_pool_mean(table: jax.Array, ids: jax.Array) -> jax.Array:
 
 
 def _gather_pool_mean_fwd(table, ids):
-    if jax.default_backend() == "tpu" and ids.shape[1] >= 8:
+    if (jax.default_backend() == "tpu" and ids.shape[1] >= 8
+            and ids.shape[0] % _ROWS_PER_STEP == 0):
         pooled = fused_gather_pool_pallas(table, ids, "mean")
     else:
         pooled = fused_gather_pool_jnp(table, ids, "mean")

@@ -180,3 +180,22 @@ def test_save_load_roundtrip(tmp_path):
     assert "w1 " in buf.getvalue()
     loaded2 = load_embedding_map(buf)
     np.testing.assert_allclose(loaded2["w2"], emb["w2"], rtol=1e-6)
+
+
+def test_word2vec_cli_roundtrip(tmp_path):
+    """`python -m goctr_tpu.embedding.word2vec` flag surface (reference
+    cobra bindings, options.go:106-126): train from a corpus file, write
+    the text model, reload it."""
+    from goctr_tpu.embedding.store import load_embedding_map
+    from goctr_tpu.embedding.word2vec import _cli
+
+    docs = _cluster_corpus(300)
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("\n".join(" ".join(d) for d in docs) + "\n")
+    out = tmp_path / "model.txt"
+    rc = _cli(["-i", str(corpus), "-o", str(out), "--dim", "8",
+               "--iter", "2", "--min-count", "1", "--window", "3",
+               "--subsample-threshold", "0"])
+    assert rc == 0
+    emb = load_embedding_map(out)
+    assert len(emb) == 20 and emb.dim == 8
