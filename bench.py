@@ -50,6 +50,13 @@ def make_workload(n, vocab, t, u, c, seed=0):
         ctx=rng.random((n, c), dtype=np.float32), labels=y)
 
 
+def _arg(name: str, default: str) -> str:
+    for a in sys.argv[1:]:
+        if a.startswith(f"--{name}="):
+            return a.split("=", 1)[1]
+    return default
+
+
 def main() -> None:
     smoke = "--smoke" in sys.argv
 
@@ -69,8 +76,10 @@ def main() -> None:
         hidden, bs, epochs = (64, 32), 4096, 3
     else:
         n, vocab, t, u, c = 5_000_000, 10_000_000, 32, 48, 16
-        hidden, bs, epochs = (1024, 512, 256), 32_768, 4
+        hidden, epochs = (1024, 512, 256), 4
+        bs = int(_arg("batch", "16384"))
 
+    mode = _arg("mode", "dedup")
     model = SparseCTR(item_vocab=vocab, emb_dim=64, u_profile_dim=u,
                       ctx_dim=c, behavior_len=t, hidden=hidden,
                       activation="relu", compute_dtype=jnp.bfloat16)
@@ -78,7 +87,8 @@ def main() -> None:
     cfg = TrainerConfig(batch_size=bs, epochs=epochs, early_stop=0,
                         lr=1e-3, shuffle=True, seed=0)
     ranker = train_sparse_scanned(model, sample, cfg,
-                                  TableOptConfig(kind="adagrad", lr=0.1))
+                                  TableOptConfig(kind="adagrad", lr=0.1,
+                                                 update_mode=mode))
 
     # first epoch includes jit compile; steady state = epochs 2..n
     steady = ranker.epoch_times[1:]
@@ -95,7 +105,7 @@ def main() -> None:
         "mfu_pct": round(mfu_pct, 2),
         "workload": (f"sparse_ctr vocab={vocab} dim=64 T={t} "
                      f"hidden={'x'.join(map(str, hidden))} bf16 "
-                     f"rows={n} batch={bs} loss_last="
+                     f"rows={n} batch={bs} table_update={mode} loss_last="
                      f"{round(ranker.loss_curve[-1], 4)}"),
     }))
 

@@ -176,9 +176,12 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
 def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
                          cfg: Optional[TrainerConfig] = None,
                          table_opt: Optional[TableOptConfig] = None,
+                         resume_from: Optional[TrainedScanned] = None,
                          ) -> TrainedScanned:
     """Single-device scanned training. For multi-chip table sharding use
-    parallel/sparse_trainer.py; this path maximizes one chip."""
+    parallel/sparse_trainer.py; this path maximizes one chip. Pass a prior
+    TrainedScanned as resume_from for true mid-training resume (params,
+    table, adagrad accumulator, and dense optimizer state all restore)."""
     cfg = cfg or TrainerConfig()
     topt = table_opt or TableOptConfig()
     if topt.kind not in ("adagrad", "sgd"):
@@ -213,21 +216,30 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
     dims = (model.concat_dim,) + tuple(model.hidden) + (1,)
     from goctr_tpu.models.base import init_linear
     mkeys = jax.random.split(k_mlp, len(dims) - 1)
-    dense_params = {
-        "att0": jnp.ones((model.behavior_len,), jnp.float32),
-        "mlp": [init_linear(k, (dims[i], dims[i + 1]), "glorot")
-                for i, k in enumerate(mkeys)],
-        "bias": [jnp.zeros((d,), jnp.float32) for d in dims[1:]],
-    }
-    table = jax.random.normal(k_table, (V, D), jnp.float32) * 0.01
-    acc = jnp.zeros((V,), jnp.float32)      # adagrad second moment (unused for sgd)
+    if resume_from is not None:
+        dense_params = resume_from.dense_params
+        table = resume_from.table
+        acc = (resume_from.acc if resume_from.acc is not None
+               else jnp.zeros((V,), jnp.float32))
+        key = jax.random.fold_in(key, len(resume_from.loss_curve))
+    else:
+        dense_params = {
+            "att0": jnp.ones((model.behavior_len,), jnp.float32),
+            "mlp": [init_linear(k, (dims[i], dims[i + 1]), "glorot")
+                    for i, k in enumerate(mkeys)],
+            "bias": [jnp.zeros((d,), jnp.float32) for d in dims[1:]],
+        }
+        table = jax.random.normal(k_table, (V, D), jnp.float32) * 0.01
+        acc = jnp.zeros((V,), jnp.float32)  # adagrad moment (unused for sgd)
 
     schedule = make_schedule(cfg.lr_schedule, cfg.lr, cfg.power_t)
     solver = make_solver(
         cfg.solver, schedule, l2=cfg.l2, weight_decay=cfg.weight_decay,
         momentum=cfg.momentum, beta1=cfg.beta1, beta2=cfg.beta2,
         epsilon=cfg.epsilon)
-    opt_state = solver.init(dense_params)
+    opt_state = (resume_from.opt_state
+                 if resume_from is not None and resume_from.opt_state
+                 is not None else solver.init(dense_params))
     cd = model.compute_dtype
 
     def loss_fn(dense, emb_b, emb_i, prof, ctx, mask, yb, wb, dkey):
@@ -306,8 +318,85 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
         if cfg.early_stop and no_improve >= cfg.early_stop:
             break
 
+    if resume_from is not None:
+        loss_curve = resume_from.loss_curve + loss_curve
     return TrainedScanned(model=model, dense_params=dense_params, table=table,
                           loss_curve=loss_curve, epoch_times=epoch_times,
+                          opt_state=opt_state, acc=acc)
+
+
+def save_scanned_checkpoint(path, trained: TrainedScanned,
+                            trainer_config: Optional[TrainerConfig] = None,
+                            ) -> None:
+    """npz+json checkpoint of a TrainedScanned (params, table, adagrad
+    accumulator, dense optimizer state) — true mid-training resume for the
+    sparse flagship, same tier as models/io.save_checkpoint."""
+    import json
+    from pathlib import Path
+
+    from goctr_tpu.models.io import _flatten_params
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    m = trained.model
+    meta = {
+        "model_config": {
+            "item_vocab": m.item_vocab, "emb_dim": m.emb_dim,
+            "u_profile_dim": m.u_profile_dim, "ctx_dim": m.ctx_dim,
+            "behavior_len": m.behavior_len, "hidden": list(m.hidden),
+            "activation": m.activation, "dropout_rate": m.dropout_rate,
+            "lookup_dedup_cap": m.lookup_dedup_cap,
+        },
+        "loss_curve": trained.loss_curve,
+        "trainer_config": (dataclasses.asdict(trainer_config)
+                           if trainer_config is not None else None),
+    }
+    (path / "meta.json").write_text(json.dumps(meta))
+    np.savez(path / "dense.npz", **_flatten_params(trained.dense_params))
+    np.savez(path / "table.npz", table=np.asarray(trained.table),
+             acc=np.asarray(trained.acc) if trained.acc is not None
+             else np.zeros(0, np.float32))
+    if trained.opt_state is not None:
+        leaves = jax.tree.leaves(trained.opt_state)
+        np.savez(path / "opt_state.npz",
+                 **{str(i): np.asarray(x) for i, x in enumerate(leaves)})
+
+
+def load_scanned_checkpoint(path) -> TrainedScanned:
+    import json
+    from pathlib import Path
+
+    from goctr_tpu.models.io import _unflatten_params
+
+    path = Path(path)
+    meta = json.loads((path / "meta.json").read_text())
+    mc = dict(meta["model_config"])
+    mc["hidden"] = tuple(mc["hidden"])
+    model = SparseCTR(**mc)
+    with np.load(path / "dense.npz") as z:
+        dense = _unflatten_params(dict(z.items()))
+    with np.load(path / "table.npz") as z:
+        table = jnp.asarray(z["table"])
+        acc = jnp.asarray(z["acc"]) if z["acc"].size else None
+
+    opt_state = None
+    tc = meta.get("trainer_config")
+    opt_path = path / "opt_state.npz"
+    if opt_path.exists() and tc is not None:
+        cfg = TrainerConfig(**tc)
+        schedule = make_schedule(cfg.lr_schedule, cfg.lr, cfg.power_t)
+        solver = make_solver(
+            cfg.solver, schedule, l2=cfg.l2, weight_decay=cfg.weight_decay,
+            momentum=cfg.momentum, beta1=cfg.beta1, beta2=cfg.beta2,
+            epsilon=cfg.epsilon)
+        template = solver.init(dense)
+        treedef = jax.tree.structure(template)
+        with np.load(opt_path) as z:
+            leaves = [jnp.asarray(z[str(i)]) for i in range(len(z.files))]
+        opt_state = jax.tree.unflatten(treedef, leaves)
+
+    return TrainedScanned(model=model, dense_params=dense, table=table,
+                          loss_curve=meta["loss_curve"], epoch_times=[],
                           opt_state=opt_state, acc=acc)
 
 

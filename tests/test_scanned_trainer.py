@@ -117,3 +117,31 @@ def test_model_flops_per_example_counts_tower():
     concat = 8 + 2 * 16 + 4
     macs = concat * 200 + 200 * 80 + 80 * 1
     assert f == pytest.approx(6 * macs + 3 * 4 * 10 * 16)
+
+
+def test_scanned_checkpoint_resume(tmp_path):
+    """Save → load → resume: predictions restore exactly, and resumed
+    training continues from the saved optimizer/accumulator state."""
+    from goctr_tpu.parallel.scanned import (
+        load_scanned_checkpoint, save_scanned_checkpoint,
+    )
+
+    vocab = 150
+    train = _planted(3000, vocab, seed=6)
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(16,))
+    cfg = TrainerConfig(batch_size=512, epochs=3, early_stop=0, seed=2)
+    r1 = train_sparse_scanned(model, train, cfg,
+                              TableOptConfig(kind="adagrad", lr=0.3))
+    save_scanned_checkpoint(tmp_path / "ckpt", r1, trainer_config=cfg)
+    r2 = load_scanned_checkpoint(tmp_path / "ckpt")
+    assert r2.model.item_vocab == vocab and r2.model.hidden == (16,)
+    test = _planted(200, vocab, seed=7)
+    np.testing.assert_allclose(r1.predict(test), r2.predict(test),
+                               rtol=1e-6, atol=1e-7)
+    assert r2.opt_state is not None and r2.acc is not None
+    r3 = train_sparse_scanned(model, train, cfg,
+                              TableOptConfig(kind="adagrad", lr=0.3),
+                              resume_from=r2)
+    assert len(r3.loss_curve) == 6           # 3 saved + 3 new
+    assert r3.loss_curve[-1] <= r1.loss_curve[-1] + 0.05
