@@ -26,6 +26,7 @@ import numpy as np
 # reference: 79,948 samples / 28 s wall for a full train run (README.md:160-165)
 BASELINE_EXAMPLES_PER_S = 79_948 / 28.0
 V5E_BF16_PEAK_FLOPS = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
 
 
 def make_workload(n, vocab, t, u, c, seed=0):
@@ -67,7 +68,8 @@ def main() -> None:
 
     from goctr_tpu.models.trainer import TrainerConfig
     from goctr_tpu.parallel.scanned import (
-        TableOptConfig, model_flops_per_example, train_sparse_scanned,
+        TableOptConfig, model_bytes_per_example, model_flops_per_example,
+        train_sparse_scanned,
     )
     from goctr_tpu.parallel.sparse_ctr import SparseCTR
 
@@ -95,6 +97,8 @@ def main() -> None:
     examples_per_s = len(steady) * n / sum(steady)
     flops_ex = model_flops_per_example(model, t)
     mfu_pct = 100.0 * examples_per_s * flops_ex / V5E_BF16_PEAK_FLOPS
+    bytes_ex = model_bytes_per_example(model, t, mode)
+    hbm_util_pct = 100.0 * examples_per_s * bytes_ex / V5E_HBM_BYTES_PER_S
 
     print(json.dumps({
         "metric": "sparse_din_train_examples_per_s",
@@ -103,6 +107,8 @@ def main() -> None:
         "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 2),
         "model_flops_per_example": round(flops_ex, 0),
         "mfu_pct": round(mfu_pct, 2),
+        "model_bytes_per_example": round(bytes_ex, 0),
+        "hbm_util_pct": round(hbm_util_pct, 2),
         "workload": (f"sparse_ctr vocab={vocab} dim=64 T={t} "
                      f"hidden={'x'.join(map(str, hidden))} bf16 "
                      f"rows={n} batch={bs} table_update={mode} loss_last="

@@ -400,6 +400,29 @@ def load_scanned_checkpoint(path) -> TrainedScanned:
                           opt_state=opt_state, acc=acc)
 
 
+def model_bytes_per_example(model: SparseCTR, T: int,
+                            update_mode: str = "dedup") -> float:
+    """Analytic HBM bytes per example for the scanned trainer (f32 table):
+    embedding gather (T+1 rows), scatter read-modify-write of the same rows,
+    adagrad accumulator traffic, the dataset-row gather, and (for
+    sorted/dedup modes) the sort permutation of ids+rows. CTR training on a
+    TensorCore-only chip is gather/scatter-bound, so HBM utilization — not
+    MFU — is the speed-of-light yardstick for this workload."""
+    D = model.emb_dim
+    row = D * 4.0
+    rows = T + 1.0
+    gather = rows * row
+    scatter = 2.0 * rows * row              # read-modify-write
+    acc = rows * 4.0 * 3.0                  # gather + rmw of [V] accumulator
+    dataset = (model.u_profile_dim + model.ctx_dim + 2) * 4.0 + T * 4.0
+    sort = 0.0
+    if update_mode in ("sorted", "dedup"):
+        # permute ids (4B×2) + rows (row×2), plus segment-sum write (dedup)
+        sort = rows * (8.0 + 2.0 * row) + (rows * row if update_mode ==
+                                           "dedup" else 0.0)
+    return gather + scatter + acc + dataset + sort
+
+
 def model_flops_per_example(model: SparseCTR, T: int) -> float:
     """Analytic training FLOPs per example (fwd + bwd ≈ 3× fwd for matmuls).
 
