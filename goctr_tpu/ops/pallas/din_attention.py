@@ -29,10 +29,10 @@ from goctr_tpu.ops.activations import cosine_similarity
 # VMEM note: the trailing model dim D pads to the 128-lane tile, inflating a
 # [BB, BT, D] block (and every elementwise temporary) by 128/D when D < 128;
 # blocks are sized so the padded double-buffered footprint + temporaries stay
-# under the ~16MB VMEM budget even at D=16. BLOCK_B=64 over 8: larger
-# sublane occupancy per program (tiny blocks starve the VPU; see
-# BENCH_NOTES.md kernel measurements).
-BLOCK_B = 64
+# under the ~16MB VMEM budget even at D=16. BLOCK_B balances sublane
+# occupancy per program (tiny blocks starve the VPU) against scoped VMEM:
+# 64 OOM'd by 192KB at T-tile 256, D=64 on a v5e (measured); 32 fits.
+BLOCK_B = 32
 BLOCK_T = 256
 
 
