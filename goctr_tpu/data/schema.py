@@ -8,6 +8,7 @@ optional driver being installed (none is baked into this image).
 from __future__ import annotations
 
 import dataclasses
+import re
 import sqlite3
 from typing import Any, Iterator, Optional, Protocol, Sequence
 
@@ -165,9 +166,7 @@ def _split_top_level(text: str, masked: str) -> list[tuple[str, str]]:
 # Word-boundary match so a column named e.g. `key_id` (unquoted) is not
 # misclassified as an index definition (reference's sqlparser gets this
 # right via real tokenization, mysql.go:117-151).
-import re as _re
-
-_CONSTRAINT_RE = _re.compile(
+_CONSTRAINT_RE = re.compile(
     r"(?i)(PRIMARY\s+KEY|UNIQUE(?:\s+KEY|\s+INDEX)?|KEY|INDEX|CONSTRAINT|"
     r"FOREIGN\s+KEY|FULLTEXT|SPATIAL|CHECK)\b")
 
@@ -183,7 +182,6 @@ def parse_mysql_ddl(ddl: str) -> tuple[str, list[Column]]:
     '...' strings or `...` identifiers never affect parsing. Raises
     ValueError on non-CREATE statements (ErrNotDDL).
     """
-    import re
 
     text = ddl.strip()
     masked = _mask_literals(text)
