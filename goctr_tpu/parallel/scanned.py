@@ -65,6 +65,10 @@ class TableOptConfig:
     lr: float = 0.01
     eps: float = 1e-8
     update_mode: str = "dedup"  # dedup | sorted | plain
+    # gather the batch's embedding rows in ascending-id order (one sort +
+    # inverse take) instead of raw order — A/B knob for the HBM-random-read
+    # bound of the forward gather
+    sorted_gather: bool = False
 
 
 @dataclasses.dataclass
@@ -274,8 +278,21 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
             b_y = jnp.take(y, idx)
             b_w = jnp.take(w, idx)
 
-            emb_b = jnp.take(table, jnp.maximum(b_bids, 0), axis=0).astype(cd)
-            emb_i = jnp.take(table, b_iids, axis=0).astype(cd)
+            if topt.sorted_gather:
+                flat = jnp.concatenate([b_bids.reshape(-1), b_iids])
+                order = jnp.argsort(flat)
+                s_ids = jnp.maximum(jnp.take(flat, order), 0)
+                inv = jnp.zeros_like(order).at[order].set(
+                    jnp.arange(order.shape[0]))
+                emb_flat = jnp.take(
+                    jnp.take(table, s_ids, axis=0).astype(cd), inv, axis=0)
+                nb = bs * sample.behavior_ids.shape[1]
+                emb_b = emb_flat[:nb].reshape(bs, -1, D)
+                emb_i = emb_flat[nb:]
+            else:
+                emb_b = jnp.take(table, jnp.maximum(b_bids, 0),
+                                 axis=0).astype(cd)
+                emb_i = jnp.take(table, b_iids, axis=0).astype(cd)
             mask = (b_bids >= 0).astype(jnp.float32)
             dkey = jax.random.fold_in(drop_key, b)
             loss, (g_dense, g_b, g_i) = grad_fn(

@@ -145,3 +145,23 @@ def test_scanned_checkpoint_resume(tmp_path):
                               resume_from=r2)
     assert len(r3.loss_curve) == 6           # 3 saved + 3 new
     assert r3.loss_curve[-1] <= r1.loss_curve[-1] + 0.05
+
+
+def test_sorted_gather_matches_direct():
+    """sorted_gather is a pure access-order optimization: same numbers."""
+    vocab = 120
+    train = _planted(2000, vocab, seed=8)
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(16,))
+    cfg = TrainerConfig(batch_size=512, epochs=2, early_stop=0,
+                        shuffle=False, seed=5)
+    r1 = train_sparse_scanned(model, train, cfg,
+                              TableOptConfig(kind="sgd", lr=5.0,
+                                             update_mode="plain"))
+    r2 = train_sparse_scanned(model, train, cfg,
+                              TableOptConfig(kind="sgd", lr=5.0,
+                                             update_mode="plain",
+                                             sorted_gather=True))
+    np.testing.assert_allclose(np.asarray(r2.table), np.asarray(r1.table),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(r2.loss_curve, r1.loss_curve, rtol=1e-5)
