@@ -37,7 +37,7 @@ BLOCK_T = 256
 
 
 def _kernel(beh_ref, item_ref, att0_ref, mask_ref, out_ref, acc_ref,
-            cnt_ref, *, n_t_tiles: int, t_total: int):
+            cnt_ref, *, n_t_tiles: int, t_total: int, ragged_tail: bool):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -50,14 +50,17 @@ def _kernel(beh_ref, item_ref, att0_ref, mask_ref, out_ref, acc_ref,
     att0 = att0_ref[:]                  # [1, BT]
     mask = mask_ref[:]                  # [BB, BT]
 
-    # when T % BT != 0 the final tile reads past the array; those lanes are
-    # undefined (NaN in interpret mode) and NaN*0 != 0 — zero them explicitly
-    bt = mask.shape[1]
-    t_idx = t * bt + jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
-    in_range = (t_idx < t_total).astype(beh.dtype)
-    mask = jnp.where(in_range > 0, mask, 0.0)
-    beh = jnp.where(in_range[..., None] > 0, beh, 0.0)
-    att0 = jnp.where(in_range > 0, att0, 0.0)
+    if ragged_tail:
+        # when T % BT != 0 the final tile reads past the array; those lanes
+        # are undefined (NaN in interpret mode) and NaN*0 != 0 — zero them.
+        # Static-gated: aligned shapes skip these block-sized temporaries
+        # (they alone overflow scoped VMEM at BLOCK_B=32, measured on v5e).
+        bt = mask.shape[1]
+        t_idx = t * bt + jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
+        in_range = (t_idx < t_total).astype(beh.dtype)
+        mask = jnp.where(in_range > 0, mask, 0.0)
+        beh = jnp.where(in_range[..., None] > 0, beh, 0.0)
+        att0 = jnp.where(in_range > 0, att0, 0.0)
 
     # batched einsums don't lower in Mosaic; express as mul+reduce (VPU)
     dot = jnp.sum(beh * item[:, None, :], axis=-1)       # [BB, BT]
@@ -90,7 +93,8 @@ def din_attention_pool_pallas(behaviors: jax.Array, item: jax.Array,
     grid = (pl.cdiv(b, bb), pl.cdiv(t, bt))
 
     return pl.pallas_call(
-        functools.partial(_kernel, n_t_tiles=grid[1], t_total=t),
+        functools.partial(_kernel, n_t_tiles=grid[1], t_total=t,
+                          ragged_tail=(t % bt != 0)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bb, bt, d), lambda i, j: (i, j, 0),

@@ -108,11 +108,20 @@ def fused_gather_pool_jnp(table, ids, combiner: str = "sum"):
     return pooled
 
 
+def _pallas_eligible(table, ids, interpret: bool) -> bool:
+    # compiled Mosaic requires lane-aligned row slices out of HBM: the table
+    # memref is 128-lane tiled, so single-row DMAs need D % 128 == 0
+    # (measured failure on v5e at D=64: "Slice shape along dimension 1 must
+    # be aligned to tiling (128)"); interpret mode has no such constraint
+    d_ok = interpret or table.shape[1] % 128 == 0
+    return d_ok and ids.shape[0] % _ROWS_PER_STEP == 0
+
+
 def fused_gather_pool(table, ids, combiner: str = "sum", *,
                       min_k_for_pallas: int = 64, interpret: bool = False):
     """Auto-routed fused gather+pool over the K (multi-hot) axis."""
     if ((ids.shape[1] >= min_k_for_pallas or interpret)
-            and ids.shape[0] % _ROWS_PER_STEP == 0):
+            and _pallas_eligible(table, ids, interpret)):
         return fused_gather_pool_pallas(table, ids, combiner,
                                         interpret=interpret)
     return fused_gather_pool_jnp(table, ids, combiner)
@@ -135,7 +144,7 @@ def gather_pool_mean(table: jax.Array, ids: jax.Array) -> jax.Array:
 
 def _gather_pool_mean_fwd(table, ids):
     if (jax.default_backend() == "tpu" and ids.shape[1] >= 8
-            and ids.shape[0] % _ROWS_PER_STEP == 0):
+            and _pallas_eligible(table, ids, interpret=False)):
         pooled = fused_gather_pool_pallas(table, ids, "mean")
     else:
         pooled = fused_gather_pool_jnp(table, ids, "mean")
