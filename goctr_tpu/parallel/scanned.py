@@ -118,15 +118,28 @@ class TrainedScanned:
         return out
 
 
+_SCAT_DNUMS = jax.lax.ScatterDimensionNumbers(
+    update_window_dims=(1,), inserted_window_dims=(0,),
+    scatter_dims_to_operand_dims=(0,))
+
+
+def table_pad_rows(batch_size: int, behavior_len: int) -> int:
+    """Junk pad rows the dedup update needs beyond the vocab: distinct
+    in-range targets for -1 behavior pads (n) + empty dedup slots (n) + 2."""
+    n = batch_size * (behavior_len + 1)
+    return 2 * n + 2
+
+
 def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
-                  g_flat: jax.Array, topt: TableOptConfig):
+                  g_flat: jax.Array, topt: TableOptConfig, V: int):
     """Apply one batch's row gradients to the table (+ adagrad accumulator).
-    Invalid ids (< 0, i.e. behavior padding) contribute nothing."""
-    from goctr_tpu.ops.scatter import dedup_sum_rows, scatter_add_rows
+    Invalid ids (< 0, i.e. behavior padding) contribute nothing. `V` is the
+    true vocab; in dedup mode the physical table has table_pad_rows() extra
+    junk rows past V."""
+    from goctr_tpu.ops.scatter import scatter_add_rows
 
     valid = (ids_flat >= 0).astype(jnp.float32)
     g_flat = g_flat * valid[:, None]
-    V = table.shape[0]
 
     if topt.update_mode == "plain":
         safe = jnp.maximum(ids_flat, 0)
@@ -162,18 +175,37 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
     # dedup: segment-sum duplicate rows → one collision-free write per
     # unique id. Also makes adagrad EXACT: the accumulated row gradient is
     # squared once per batch (standard DLRM row-wise adagrad), no duplicate
-    # racing.
-    uniq, rows = dedup_sum_rows(ids_flat, g_flat, V)
+    # racing. The table/acc carry `2n + 2` junk pad rows (see V_ALLOC in
+    # train_sparse_scanned) so every index — including -1 behavior pads and
+    # empty dedup slots — maps to a DISTINCT in-range junk row receiving a
+    # zero update: the scatter runs with strictly-true sorted+unique
+    # promises and PROMISE_IN_BOUNDS, never the OOB-drop path (which
+    # faulted the TPU worker at 10M-vocab scale, BENCH_NOTES.md).
+    n = ids_flat.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    ids_clean = jnp.where(ids_flat >= 0, ids_flat, V + 1 + pos)
+    order = jnp.argsort(ids_clean)
+    s_ids = jnp.take(ids_clean, order)
+    s_g = jnp.take(g_flat, order, axis=0)
+    new = jnp.concatenate([jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
+    seg = jnp.cumsum(new) - 1
+    rows = jax.ops.segment_sum(s_g, seg, num_segments=n,
+                               indices_are_sorted=True)
+    sentinel = V + 1 + n + pos              # disjoint from the -1-pad range
+    uniq = sentinel.at[seg].set(s_ids, mode="promise_in_bounds")
+    in_bounds = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
     if topt.kind == "adagrad":
         row_sq = jnp.sum(rows * rows, axis=1)
-        acc = scatter_add_rows(acc[:, None], uniq, row_sq[:, None],
-                               sorted_ids=True, unique=True)[:, 0]
-        scale = topt.lr * jax.lax.rsqrt(
-            jnp.take(acc, jnp.clip(uniq, 0, V - 1)) + topt.eps)
+        acc = jax.lax.scatter_add(
+            acc[:, None], uniq[:, None], row_sq[:, None], _SCAT_DNUMS,
+            indices_are_sorted=True, unique_indices=True,
+            mode=in_bounds)[:, 0]
+        scale = topt.lr * jax.lax.rsqrt(jnp.take(acc, uniq) + topt.eps)
     else:
         scale = jnp.full(uniq.shape, topt.lr, jnp.float32)
-    table = scatter_add_rows(table, uniq, -scale[:, None] * rows,
-                             sorted_ids=True, unique=True)
+    table = jax.lax.scatter_add(
+        table, uniq[:, None], -scale[:, None] * rows, _SCAT_DNUMS,
+        indices_are_sorted=True, unique_indices=True, mode=in_bounds)
     return table, acc
 
 
@@ -235,6 +267,16 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
         }
         table = jax.random.normal(k_table, (V, D), jnp.float32) * 0.01
         acc = jnp.zeros((V,), jnp.float32)  # adagrad moment (unused for sgd)
+
+    # dedup mode scatters into distinct in-range junk rows past the vocab
+    # (see _table_update); physically extend table/acc once here
+    v_alloc = V + (table_pad_rows(bs, T) if topt.update_mode == "dedup"
+                   else 0)
+    if table.shape[0] < v_alloc:
+        table = jnp.concatenate(
+            [table, jnp.zeros((v_alloc - table.shape[0], D), jnp.float32)])
+        acc = jnp.concatenate(
+            [acc, jnp.zeros((v_alloc - acc.shape[0],), jnp.float32)])
 
     schedule = make_schedule(cfg.lr_schedule, cfg.lr, cfg.power_t)
     solver = make_solver(
@@ -305,7 +347,7 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
             ids_flat = jnp.concatenate([b_bids.reshape(-1), b_iids])
             g_flat = jnp.concatenate(
                 [g_b.reshape(-1, D), g_i]).astype(jnp.float32)
-            table, acc = _table_update(table, acc, ids_flat, g_flat, topt)
+            table, acc = _table_update(table, acc, ids_flat, g_flat, topt, V)
             return (dense, opt_state, table, acc), loss
 
         (dense, opt_state, table, acc), losses = jax.lax.scan(
@@ -370,8 +412,10 @@ def save_scanned_checkpoint(path, trained: TrainedScanned,
     }
     (path / "meta.json").write_text(json.dumps(meta))
     np.savez(path / "dense.npz", **_flatten_params(trained.dense_params))
-    np.savez(path / "table.npz", table=np.asarray(trained.table),
-             acc=np.asarray(trained.acc) if trained.acc is not None
+    # trim dedup-mode junk pad rows: checkpoints carry exactly the vocab
+    v = m.item_vocab
+    np.savez(path / "table.npz", table=np.asarray(trained.table[:v]),
+             acc=np.asarray(trained.acc[:v]) if trained.acc is not None
              else np.zeros(0, np.float32))
     if trained.opt_state is not None:
         leaves = jax.tree.leaves(trained.opt_state)

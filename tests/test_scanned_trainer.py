@@ -70,7 +70,8 @@ def test_sgd_update_modes_are_numerically_identical():
         r = train_sparse_scanned(model, train, cfg,
                                  TableOptConfig(kind="sgd", lr=5.0,
                                                 update_mode=mode))
-        tables[mode] = np.asarray(r.table)
+        # dedup mode carries junk pad rows past the vocab
+        tables[mode] = np.asarray(r.table[:vocab])
     np.testing.assert_allclose(tables["sorted"], tables["plain"],
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(tables["dedup"], tables["plain"],
