@@ -36,7 +36,9 @@ def make_workload(n, vocab, t, u, c, seed=0):
     from goctr_tpu.parallel.sparse_trainer import SparseSample
 
     rng = np.random.default_rng(seed)
-    taste = rng.integers(0, 2, n)
+    uids = rng.integers(0, max(n // 256, 1), n).astype(np.int32)
+    user_taste = rng.integers(0, 2, max(n // 256, 1))
+    taste = user_taste[uids]
     bids = np.where(
         rng.random((n, t)) < 0.85,
         rng.integers(0, vocab // 2, (n, t), dtype=np.int64) * 2
@@ -48,7 +50,7 @@ def make_workload(n, vocab, t, u, c, seed=0):
     return SparseSample(
         user_profile=rng.random((n, u), dtype=np.float32),
         behavior_ids=bids, item_ids=iids,
-        ctx=rng.random((n, c), dtype=np.float32), labels=y)
+        ctx=rng.random((n, c), dtype=np.float32), labels=y), uids
 
 
 def _arg(name: str, default: str) -> str:
@@ -82,15 +84,17 @@ def main() -> None:
         bs = int(_arg("batch", "16384"))
 
     mode = _arg("mode", "dedup")
+    sorted_gather = "--sorted_gather" in sys.argv
     model = SparseCTR(item_vocab=vocab, emb_dim=64, u_profile_dim=u,
                       ctx_dim=c, behavior_len=t, hidden=hidden,
                       activation="relu", compute_dtype=jnp.bfloat16)
-    sample = make_workload(n, vocab, t, u, c)
+    sample, uids = make_workload(n, vocab, t, u, c)
     cfg = TrainerConfig(batch_size=bs, epochs=epochs, early_stop=0,
                         lr=1e-3, shuffle=True, seed=0)
     ranker = train_sparse_scanned(model, sample, cfg,
                                   TableOptConfig(kind="adagrad", lr=0.1,
-                                                 update_mode=mode))
+                                                 update_mode=mode,
+                                                 sorted_gather=sorted_gather))
 
     # first epoch includes jit compile; steady state = epochs 2..n
     steady = ranker.epoch_times[1:]
@@ -99,6 +103,23 @@ def main() -> None:
     mfu_pct = 100.0 * examples_per_s * flops_ex / V5E_BF16_PEAK_FLOPS
     bytes_ex = model_bytes_per_example(model, t, mode)
     hbm_util_pct = 100.0 * examples_per_s * bytes_ex / V5E_HBM_BYTES_PER_S
+
+    extra = {}
+    if "--eval" in sys.argv:
+        # at-scale eval: bucketed on-device predict over all rows, then
+        # one-sort jittable AUC + segment GAUC (core/metrics.py) — the
+        # ML-20M-scale counterpart of the reference's GAUC protocol
+        # (/root/reference/README.md:17,25,33)
+        import jax
+
+        from goctr_tpu.core.metrics import gauc_jit, roc_auc_jit
+        scores = ranker.predict(sample)
+        s_dev = jnp.asarray(scores)
+        y_dev = jnp.asarray(sample.labels, jnp.float32)
+        extra["eval_auc"] = round(float(jax.jit(roc_auc_jit)(s_dev, y_dev)),
+                                  4)
+        extra["eval_gauc"] = round(float(jax.jit(gauc_jit)(
+            s_dev, y_dev, jnp.asarray(uids))), 4)
 
     print(json.dumps({
         "metric": "sparse_din_train_examples_per_s",
@@ -113,6 +134,7 @@ def main() -> None:
                      f"hidden={'x'.join(map(str, hidden))} bf16 "
                      f"rows={n} batch={bs} table_update={mode} loss_last="
                      f"{round(ranker.loss_curve[-1], 4)}"),
+        **extra,
     }))
 
 

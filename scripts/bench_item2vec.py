@@ -1,0 +1,76 @@
+"""item2vec throughput bench on the ML-10M-shaped corpus (BENCH_NOTES).
+
+Corpus: ~9.5M words as 100k user-history "docs" drawn from a 10k-item zipf
+vocabulary — the shape of the reference's README.md:133-141 M1 Max run
+(9.5M words / 17.16s ≈ 555k words/s, SkipGram+HS dim 16 window 5).
+
+    python scripts/bench_item2vec.py [--batch=65536] [--iters=3] [--model=skipgram]
+
+Reports aggregate pair-updates/s and words/s across all iterations after
+the first (compile) — host window-expansion of iter i+1 overlaps device
+execution of iter i because epoch dispatches are async (no per-iter sync).
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def _arg(name: str, default: str) -> str:
+    for a in sys.argv[1:]:
+        if a.startswith(f"--{name}="):
+            return a.split("=", 1)[1]
+    return default
+
+
+def make_corpus(n_words: int = 9_500_000, vocab: int = 10_000,
+                n_docs: int = 100_000, seed: int = 0) -> list[np.ndarray]:
+    rng = np.random.default_rng(seed)
+    p = 1.0 / np.arange(1, vocab + 1) ** 1.05
+    p /= p.sum()
+    words = rng.choice(vocab, size=n_words, p=p).astype(np.int64)
+    cuts = np.sort(rng.choice(n_words, n_docs - 1, replace=False))
+    return [w for w in np.split(words, cuts) if len(w)]
+
+
+def main() -> None:
+    from goctr_tpu.core.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    print("backend:", jax.default_backend(), flush=True)
+
+    from goctr_tpu.embedding.word2vec import Word2Vec
+
+    batch = int(_arg("batch", "65536"))
+    iters = int(_arg("iters", "3"))
+    model = _arg("model", "skipgram")
+    opt = _arg("optimizer", "hs")
+
+    t0 = time.perf_counter()
+    docs = [[str(w) for w in d] for d in make_corpus()]
+    n_words = sum(len(d) for d in docs)
+    print(f"corpus: {n_words} words, {len(docs)} docs "
+          f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+    kw = dict(dim=16, window=5, model=model, optimizer=opt,
+              batch_size=batch, min_count=1, verbose=False, seed=1)
+    t0 = time.perf_counter()
+    Word2Vec(iters=1, **kw).train(docs)      # compile warm-up (persistent cache)
+    print(f"warm-up iter (incl. compile): {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    w2v = Word2Vec(iters=iters, **kw)
+    t0 = time.perf_counter()
+    w2v.train(docs)
+    total = time.perf_counter() - t0
+    pairs = w2v.words_trained          # center-context pair updates issued
+    print(f"steady: {pairs} pair-updates / {total:.1f}s = "
+          f"{pairs / total / 1e6:.2f}M pairs/s  "
+          f"({n_words * iters / total / 1e3:.0f}k words/s) "
+          f"batch={batch} iters={iters} {model}+{opt}")
+
+
+if __name__ == "__main__":
+    main()
