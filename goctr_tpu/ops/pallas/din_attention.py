@@ -29,11 +29,13 @@ from goctr_tpu.ops.activations import cosine_similarity
 # VMEM note: the trailing model dim D pads to the 128-lane tile, inflating a
 # [BB, BT, D] block (and every elementwise temporary) by 128/D when D < 128;
 # blocks are sized so the padded double-buffered footprint + temporaries stay
-# under the ~16MB VMEM budget even at D=16. BLOCK_B balances sublane
+# under the ~16MB scoped-VMEM budget even at D=16. BLOCK_B balances sublane
 # occupancy per program (tiny blocks starve the VPU) against scoped VMEM:
-# 64 OOM'd by 192KB at T-tile 256, D=64 on a v5e (measured); 32 fits.
-BLOCK_B = 32
-BLOCK_T = 256
+# measured on a v5e at D=64: (64, 256) OOM'd by 192KB, (32, 256) by 5.09MB
+# (21.09M scoped stack incl. elementwise temporaries), (16, 128) compiles
+# with ~5.3MB of headroom to spare.
+BLOCK_B = 16
+BLOCK_T = 128
 
 
 def _kernel(beh_ref, item_ref, att0_ref, mask_ref, out_ref, acc_ref,

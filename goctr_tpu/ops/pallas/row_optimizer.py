@@ -1,0 +1,203 @@
+"""Fused sparse-row optimizer Pallas kernel (adagrad / sgd).
+
+The scanned sparse trainer's wall is the embedding-table update: XLA lowers
+scatter-add into a sequential per-row loop, and row-wise adagrad needs TWO
+of them (accumulator + weights) — measured ~4M row-updates/s against a
+12M-row table on a v5e (BENCH_NOTES.md), ~10x slower than the forward pass
+it accompanies.
+
+This kernel replaces both scatters with one streaming read-modify-write
+pass over the batch's deduplicated update rows:
+
+  * the table is PACKED: one 128-lane f32 row per vocab entry holding
+    [w_0..w_{D-1} | adagrad_acc | 0-pad]. A full packed row satisfies
+    Mosaic's 128-lane DMA alignment (single-row HBM DMAs of D=64 f32 are
+    rejected otherwise — measured, see embedding_lookup.py), and makes the
+    accumulator travel with its weights: ONE DMA pair per row updates both.
+  * update rows arrive deduplicated (sorted unique ids + segment-summed
+    gradients — the dedup pipeline of parallel/scanned.py), so rows in
+    flight are pairwise distinct and reads/writes can overlap freely.
+  * per grid step, a ring of K row buffers pipelines: wait(read j) →
+    compute adagrad/sgd in VMEM → start(write j) → start(read j+K). The
+    write-back of row j overlaps the reads of rows j+1..j+K.
+
+Per row the update is (DLRM-standard row-wise adagrad):
+    acc' = acc + ||g_row||²          (||g||² precomputed in lane D of g)
+    w'   = w − lr · g · rsqrt(acc' + eps)
+or plain sgd: w' = w − lr · g.
+
+The table argument is aliased in-place (input_output_aliases), so the
+caller's packed table buffer is updated without a copy.
+
+Reference parity note: the reference has no sparse-table trainer at all
+(its embeddings are a frozen in-RAM Go map, rcmd.go:501-531); this kernel
+exists to make the TPU framework's 10M-row joint training fast, not to
+mirror a Go component.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+ROWS_PER_STEP = 1024      # update rows per grid step ([R, 128] f32 = 512KB)
+RING = 8                  # outstanding read/write DMA pairs
+
+
+def _kernel(ids_ref, lr_ref, g_ref, tin_ref, tout_ref,
+            rbuf, wbuf, r_sems, w_sems, *, d: int, kind: str, eps: float,
+            n_rows: int):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    m_w = (lane < d).astype(jnp.float32)          # weight lanes
+    m_acc = (lane == d).astype(jnp.float32)       # accumulator lane
+    lr = lr_ref[0, 0]
+
+    def read_dma(j):
+        slot = j % RING
+        row = ids_ref[j]
+        return pltpu.make_async_copy(
+            tin_ref.at[pl.ds(row, 1)], rbuf.at[slot], r_sems.at[slot])
+
+    def write_dma(j):
+        slot = j % RING
+        row = ids_ref[j]
+        return pltpu.make_async_copy(
+            wbuf.at[slot], tout_ref.at[pl.ds(row, 1)], w_sems.at[slot])
+
+    def warm(t, carry):
+        read_dma(t).start()
+        return carry
+
+    jax.lax.fori_loop(0, min(RING, n_rows), warm, 0)
+
+    def body(j, carry):
+        slot = j % RING
+
+        @pl.when(j >= RING)
+        def _wait_prev_write():
+            write_dma(j - RING).wait()    # wbuf[slot] free for reuse
+
+        read_dma(j).wait()
+        r = rbuf[slot]                            # (1, 128): w | acc | pad
+        gp = g_ref[pl.ds(j, 1), :]                # (1, 128): g | ‖g‖² | 0
+        if kind == "adagrad":
+            r_acc = r + gp * m_acc                # acc' in lane D
+            acc = jnp.sum(r_acc * m_acc, axis=1, keepdims=True)
+            scale = lr * jax.lax.rsqrt(acc + eps)
+            wbuf[slot] = r_acc - scale * (gp * m_w)
+        else:                                     # sgd
+            wbuf[slot] = r - lr * (gp * m_w)
+        write_dma(j).start()
+
+        @pl.when(j + RING < n_rows)
+        def _start_next_read():
+            read_dma(j + RING).start()
+        return carry
+
+    jax.lax.fori_loop(0, n_rows, body, 0)
+
+    # drain: all writes must land before the kernel (and program) completes
+    def drain(t, carry):
+        write_dma(jnp.maximum(n_rows - RING, 0) + t).wait()
+        return carry
+
+    jax.lax.fori_loop(0, min(RING, n_rows), drain, 0)
+
+
+def apply_row_updates(table_packed, ids, g_packed, lr, d: int,
+                      kind: str = "adagrad", eps: float = 1e-8,
+                      interpret: bool = False) -> jax.Array:
+    """In-place fused row optimizer.
+
+    table_packed [V, 128] f32 (w | acc | pad), ids [n] int32 — PAIRWISE
+    DISTINCT and in-bounds (dedup + junk-pad-row mapping is the caller's
+    job, parallel/scanned.py), g_packed [n, 128] f32 (g | ‖g‖² | 0), `d`
+    the weight width (< 128). Returns the updated table (the input buffer
+    is aliased in place).
+
+    On non-TPU backends routes to the identical-math jnp fallback unless
+    interpret=True forces the emulated Pallas path (kernel unit tests).
+    """
+    if not 0 < d < LANES:
+        raise ValueError(f"packed row optimizer requires 0 < D < {LANES}")
+    if not interpret and jax.default_backend() != "tpu":
+        return _apply_row_updates_jnp(table_packed, ids, g_packed, lr,
+                                      kind, eps, d)
+    n = ids.shape[0]
+    r = min(ROWS_PER_STEP, n)
+    if n % r:
+        raise ValueError(f"n={n} must be a multiple of {r}")
+    grid = (n // r,)
+    return pl.pallas_call(
+        functools.partial(_kernel, d=d, kind=kind, eps=eps, n_rows=r),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((r, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # table in (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # table out (aliased)
+        out_shape=jax.ShapeDtypeStruct(table_packed.shape, jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((RING, 1, LANES), jnp.float32),
+            pltpu.VMEM((RING, 1, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((RING,)),
+            pltpu.SemaphoreType.DMA((RING,)),
+        ],
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(ids, jnp.asarray(lr, jnp.float32).reshape(1, 1), g_packed,
+      table_packed)
+
+
+def _apply_row_updates_jnp(table_packed, ids, g_packed, lr, kind, eps,
+                           d: int = 64):
+    """Reference/fallback path (CPU, tests): identical math via one
+    unique-row scatter. Requires the same pairwise-distinct ids."""
+    lane = jnp.arange(LANES)
+    m_w = (lane < d).astype(jnp.float32)
+    m_acc = (lane == d).astype(jnp.float32)
+    r = jnp.take(table_packed, ids, axis=0)
+    if kind == "adagrad":
+        r_acc = r + g_packed * m_acc
+        acc = jnp.sum(r_acc * m_acc, axis=1, keepdims=True)
+        scale = jnp.asarray(lr, jnp.float32) * jax.lax.rsqrt(acc + eps)
+        new = r_acc - scale * (g_packed * m_w)
+    else:
+        new = r - jnp.asarray(lr, jnp.float32) * (g_packed * m_w)
+    return table_packed.at[ids].set(new, mode="promise_in_bounds",
+                                    unique_indices=True)
+
+
+def pack_table(weights: jax.Array, acc: jax.Array | None = None
+               ) -> jax.Array:
+    """[V, D] weights (+ optional [V] adagrad acc) → packed [V, 128]."""
+    v, d = weights.shape
+    if acc is None:
+        acc = jnp.zeros((v,), jnp.float32)
+    pad = jnp.zeros((v, LANES - d - 1), jnp.float32)
+    return jnp.concatenate(
+        [weights.astype(jnp.float32), acc[:, None].astype(jnp.float32),
+         pad], axis=1)
+
+
+def unpack_table(table_packed: jax.Array, d: int):
+    """packed [V, 128] → ([V, D] weights, [V] acc)."""
+    return table_packed[:, :d], table_packed[:, d]
+
+
+def pack_grads(g: jax.Array) -> jax.Array:
+    """[n, D] row gradients → [n, 128] (g | ‖g‖² | 0) update rows."""
+    n, d = g.shape
+    sq = jnp.sum(g * g, axis=1, keepdims=True)
+    pad = jnp.zeros((n, LANES - d - 1), jnp.float32)
+    return jnp.concatenate([g.astype(jnp.float32), sq, pad], axis=1)

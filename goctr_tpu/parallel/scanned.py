@@ -54,12 +54,20 @@ class TableOptConfig:
 
     update_mode selects the scatter strategy (measured on a v5e, 10M×64
     table, 1.08M update rows/batch — see BENCH_NOTES.md):
+      * ``fused``  — dedup pipeline + the Pallas fused row-optimizer kernel
+                     (ops/pallas/row_optimizer.py): weights and adagrad
+                     accumulator packed per 128-lane row, one pipelined
+                     read-modify-write DMA pair per unique row instead of
+                     XLA's two sequential scatter loops. Requires D < 128.
       * ``dedup``  — sort ids, segment-sum duplicate rows, one scatter with
-                     sorted+unique index guarantees. Fastest by an order of
-                     magnitude (XLA serializes scatters that may collide)
-                     AND makes adagrad exact (duplicates no longer race).
+                     sorted+unique index guarantees; makes adagrad exact
+                     (duplicates no longer race).
       * ``sorted`` — sort ids, scatter with indices_are_sorted only.
-      * ``plain``  — direct .at[ids].add; simplest, slowest at scale.
+      * ``plain``  — direct .at[ids].add; simplest. At uniform vocab=10M
+                     (few in-batch duplicates) plain and dedup are within
+                     ~20% of each other — XLA lowers both scatters to
+                     sequential per-row loops (~4M row-updates/s), which is
+                     what ``fused`` exists to beat.
     """
     kind: str = "adagrad"       # adagrad | sgd
     lr: float = 0.01
@@ -124,9 +132,12 @@ _SCAT_DNUMS = jax.lax.ScatterDimensionNumbers(
 
 
 def table_pad_rows(batch_size: int, behavior_len: int) -> int:
-    """Junk pad rows the dedup update needs beyond the vocab: distinct
-    in-range targets for -1 behavior pads (n) + empty dedup slots (n) + 2."""
+    """Junk pad rows the dedup/fused updates need beyond the vocab:
+    distinct in-range targets for -1 behavior pads (n) + empty dedup slots
+    (n) + 2, with n rounded up to the fused kernel's grid multiple."""
+    from goctr_tpu.ops.pallas.row_optimizer import ROWS_PER_STEP
     n = batch_size * (behavior_len + 1)
+    n = -(-n // ROWS_PER_STEP) * ROWS_PER_STEP
     return 2 * n + 2
 
 
@@ -169,10 +180,10 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
                                  sorted_ids=True)
         return table, acc
 
-    if topt.update_mode != "dedup":
+    if topt.update_mode not in ("dedup", "fused"):
         raise ValueError(f"unknown update_mode {topt.update_mode!r}")
 
-    # dedup: segment-sum duplicate rows → one collision-free write per
+    # dedup/fused: segment-sum duplicate rows → one collision-free write per
     # unique id. Also makes adagrad EXACT: the accumulated row gradient is
     # squared once per batch (standard DLRM row-wise adagrad), no duplicate
     # racing. The table/acc carry `2n + 2` junk pad rows (see V_ALLOC in
@@ -181,6 +192,16 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
     # zero update: the scatter runs with strictly-true sorted+unique
     # promises and PROMISE_IN_BOUNDS, never the OOB-drop path (which
     # faulted the TPU worker at 10M-vocab scale, BENCH_NOTES.md).
+    if topt.update_mode == "fused":
+        from goctr_tpu.ops.pallas.row_optimizer import ROWS_PER_STEP
+        n0 = ids_flat.shape[0]
+        n_to = -(-n0 // ROWS_PER_STEP) * ROWS_PER_STEP
+        if n_to > n0:                        # grid-multiple padding
+            ids_flat = jnp.concatenate(
+                [ids_flat, jnp.full((n_to - n0,), -1, ids_flat.dtype)])
+            g_flat = jnp.concatenate(
+                [g_flat, jnp.zeros((n_to - n0, g_flat.shape[1]),
+                                   g_flat.dtype)])
     n = ids_flat.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
     ids_clean = jnp.where(ids_flat >= 0, ids_flat, V + 1 + pos)
@@ -193,6 +214,17 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
                                indices_are_sorted=True)
     sentinel = V + 1 + n + pos              # disjoint from the -1-pad range
     uniq = sentinel.at[seg].set(s_ids, mode="promise_in_bounds")
+
+    if topt.update_mode == "fused":
+        # table is PACKED [V_alloc, 128] (w | acc | pad); one Pallas RMW
+        # pass applies both the weight step and the adagrad accumulator
+        from goctr_tpu.ops.pallas.row_optimizer import (
+            apply_row_updates, pack_grads)
+        table = apply_row_updates(table, uniq, pack_grads(rows),
+                                  lr=topt.lr, d=rows.shape[1],
+                                  kind=topt.kind, eps=topt.eps)
+        return table, acc
+
     in_bounds = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
     if topt.kind == "adagrad":
         row_sq = jnp.sum(rows * rows, axis=1)
@@ -268,15 +300,23 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
         table = jax.random.normal(k_table, (V, D), jnp.float32) * 0.01
         acc = jnp.zeros((V,), jnp.float32)  # adagrad moment (unused for sgd)
 
-    # dedup mode scatters into distinct in-range junk rows past the vocab
-    # (see _table_update); physically extend table/acc once here
-    v_alloc = V + (table_pad_rows(bs, T) if topt.update_mode == "dedup"
-                   else 0)
+    # dedup/fused modes scatter into distinct in-range junk rows past the
+    # vocab (see _table_update); physically extend table/acc once here
+    fused = topt.update_mode == "fused"
+    if fused and D >= 128:
+        raise ValueError("update_mode='fused' requires emb_dim < 128 "
+                         "(weights+acc pack into one 128-lane row)")
+    v_alloc = V + (table_pad_rows(bs, T)
+                   if topt.update_mode in ("dedup", "fused") else 0)
     if table.shape[0] < v_alloc:
         table = jnp.concatenate(
             [table, jnp.zeros((v_alloc - table.shape[0], D), jnp.float32)])
         acc = jnp.concatenate(
             [acc, jnp.zeros((v_alloc - acc.shape[0],), jnp.float32)])
+    if fused:
+        from goctr_tpu.ops.pallas.row_optimizer import pack_table
+        table = pack_table(table, acc)        # [V_alloc, 128]: w | acc | pad
+        acc = jnp.zeros((0,), jnp.float32)    # lives inside the packed table
 
     schedule = make_schedule(cfg.lr_schedule, cfg.lr, cfg.power_t)
     solver = make_solver(
@@ -320,21 +360,25 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
             b_y = jnp.take(y, idx)
             b_w = jnp.take(w, idx)
 
+            # fused mode gathers packed rows; slice off the weight lanes
+            # (XLA fuses the slice into the gather's copy)
+            def rows_of(ids):
+                r = jnp.take(table, ids, axis=0)
+                return (r[..., :D] if fused else r).astype(cd)
+
             if topt.sorted_gather:
                 flat = jnp.concatenate([b_bids.reshape(-1), b_iids])
                 order = jnp.argsort(flat)
                 s_ids = jnp.maximum(jnp.take(flat, order), 0)
                 inv = jnp.zeros_like(order).at[order].set(
                     jnp.arange(order.shape[0]))
-                emb_flat = jnp.take(
-                    jnp.take(table, s_ids, axis=0).astype(cd), inv, axis=0)
+                emb_flat = jnp.take(rows_of(s_ids), inv, axis=0)
                 nb = bs * sample.behavior_ids.shape[1]
                 emb_b = emb_flat[:nb].reshape(bs, -1, D)
                 emb_i = emb_flat[nb:]
             else:
-                emb_b = jnp.take(table, jnp.maximum(b_bids, 0),
-                                 axis=0).astype(cd)
-                emb_i = jnp.take(table, b_iids, axis=0).astype(cd)
+                emb_b = rows_of(jnp.maximum(b_bids, 0))
+                emb_i = rows_of(b_iids)
             mask = (b_bids >= 0).astype(jnp.float32)
             dkey = jax.random.fold_in(drop_key, b)
             loss, (g_dense, g_b, g_i) = grad_fn(
@@ -379,6 +423,9 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
 
     if resume_from is not None:
         loss_curve = resume_from.loss_curve + loss_curve
+    if fused:
+        from goctr_tpu.ops.pallas.row_optimizer import unpack_table
+        table, acc = unpack_table(table, D)   # external artifact: unpacked
     return TrainedScanned(model=model, dense_params=dense_params, table=table,
                           loss_curve=loss_curve, epoch_times=epoch_times,
                           opt_state=opt_state, acc=acc)
@@ -471,16 +518,19 @@ def model_bytes_per_example(model: SparseCTR, T: int,
     MFU — is the speed-of-light yardstick for this workload."""
     D = model.emb_dim
     row = D * 4.0
+    if update_mode == "fused":
+        row = 128.0 * 4.0                   # packed 128-lane rows (w|acc|pad)
     rows = T + 1.0
     gather = rows * row
     scatter = 2.0 * rows * row              # read-modify-write
-    acc = rows * 4.0 * 3.0                  # gather + rmw of [V] accumulator
+    # gather + rmw of [V] accumulator (in-row for fused mode)
+    acc = 0.0 if update_mode == "fused" else rows * 4.0 * 3.0
     dataset = (model.u_profile_dim + model.ctx_dim + 2) * 4.0 + T * 4.0
     sort = 0.0
-    if update_mode in ("sorted", "dedup"):
-        # permute ids (4B×2) + rows (row×2), plus segment-sum write (dedup)
-        sort = rows * (8.0 + 2.0 * row) + (rows * row if update_mode ==
-                                           "dedup" else 0.0)
+    if update_mode in ("sorted", "dedup", "fused"):
+        # permute ids (4B×2) + rows (D×4×2), plus segment-sum write
+        sort = rows * (8.0 + 2.0 * D * 4.0) + (rows * D * 4.0 if update_mode
+                                               in ("dedup", "fused") else 0.0)
     return gather + scatter + acc + dataset + sort
 
 

@@ -12,10 +12,13 @@ execution of iter i because epoch dispatches are async (no per-iter sync).
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _arg(name: str, default: str) -> str:

@@ -13,11 +13,20 @@ Results are recorded in BENCH_NOTES.md.
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
 import jax.numpy as jnp
+
+if "--cpu" in sys.argv:
+    # the env's sitecustomize pins JAX_PLATFORMS=axon after importing jax,
+    # so the env var alone is ignored — update the live config (backends
+    # initialize lazily; same trick as tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
 
 
 def _arg(name: str, default: int) -> int:
@@ -88,17 +97,77 @@ def bench_gather(reps: int = 32):
                 "pallas (scalar-prefetch)", nbytes, reps)
 
 
+def bench_scatter(reps: int = 8):
+    """XLA scatter-add row-update rate into a large table — the wall that
+    caps sparse CTR training (BENCH_NOTES: ~4M serial row-updates/s).
+    Measures plain .at[].add vs sorted+unique-promised lax.scatter_add, and
+    a no-scatter sort+segment-sum control to isolate the scatter cost."""
+    import jax.numpy as jnp
+
+    v, n, d = _arg("v", 12_000_000), _arg("n", 1_048_576), _arg("d", 64)
+    key = jax.random.key(0)
+    table = jax.random.normal(key, (v, d), jnp.float32) * 0.01
+    # unique ids per rep: disjoint strided ranges → no duplicates, random-ish
+    # HBM placement; sorted variant sorts in-graph
+    ids = jax.random.randint(jax.random.key(1), (reps, n), 0, v, jnp.int32)
+    g = jax.random.normal(jax.random.key(2), (n, d), jnp.float32)
+    nbytes = n * d * 4.0 * 2.0          # RMW of n rows
+
+    def plain(tab, i):
+        return tab.at[i].add(g)
+
+    def sorted_unique(tab, i):
+        from goctr_tpu.ops.scatter import scatter_add_rows
+        si = jnp.sort(i)                 # dups possible but rare (n ≪ v)
+        return scatter_add_rows(tab, si, g, sorted_ids=True)
+
+    def sort_only(tab, i):
+        si = jnp.sort(i)
+        seg = jnp.cumsum(jnp.concatenate(
+            [jnp.ones((1,), jnp.int32),
+             (si[1:] != si[:-1]).astype(jnp.int32)])) - 1
+        rows = jax.ops.segment_sum(g, seg, num_segments=n,
+                                   indices_are_sorted=True)
+        return tab.at[0, :1].add(rows[0, :1])   # keep segsum live, no scatter
+
+    print(f"scatter-add row updates  V={v} n={n} D={d}  ({reps} varied id "
+          f"sets, one dispatch; table carried through the scan)")
+    for label, fn in [("plain .at[].add", plain),
+                      ("sorted scatter_add", sorted_unique),
+                      ("sort+segsum (no scatter)", sort_only)]:
+
+        @jax.jit
+        def run(tab, ids, fn=fn):
+            return jax.lax.scan(lambda t, i: (fn(t, i), None), tab, ids)[0]
+
+        out = run(table, ids)
+        jax.block_until_ready(out)       # compile + warm
+        t0 = time.perf_counter()
+        out = run(table, ids)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        print(f"{label:28s} {dt * 1e3:9.3f} ms/call   "
+              f"{nbytes / dt / 1e9:8.1f} GB/s   "
+              f"-> {n / dt / 1e6:.2f}M row-updates/s")
+
+
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "din"
+    whiches = sys.argv[1:] or ["din"]
     print("backend:", jax.default_backend(), jax.devices())
     from goctr_tpu.core.runtime import enable_compilation_cache
     enable_compilation_cache()
-    if which == "din":
-        bench_din()
-    elif which == "gather":
-        bench_gather()
-    else:
-        raise SystemExit(f"unknown bench {which!r}")
+    for which in whiches:
+        if which.startswith("--"):
+            continue
+        fn = {"din": bench_din, "gather": bench_gather,
+              "scatter": bench_scatter}.get(which)
+        if fn is None:
+            raise SystemExit(f"unknown bench {which!r}")
+        try:
+            fn()
+        except Exception as e:                    # keep later benches alive
+            print(f"[{which}] FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:300]}")
 
 
 if __name__ == "__main__":

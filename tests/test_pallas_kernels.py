@@ -112,3 +112,31 @@ def test_single_device_pooled_lookup_uses_fused_path(rng):
     want = fused_gather_pool_jnp(table, ids, "mean")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_row_optimizer_kernel_interpret_matches_jnp(rng):
+    """Fused row-optimizer Pallas kernel (interpret mode, emulated DMA
+    ring) vs the jnp fallback — both adagrad and sgd, with junk pad rows."""
+    from goctr_tpu.ops.pallas.row_optimizer import (
+        ROWS_PER_STEP, _apply_row_updates_jnp, apply_row_updates,
+        pack_grads, pack_table)
+
+    d, n = 8, 2 * ROWS_PER_STEP
+    v = n + 64                         # table larger than update count
+    w = rng.normal(0, 1, (v, d)).astype(np.float32)
+    acc0 = rng.random(v).astype(np.float32) * 0.1
+    packed = pack_table(jnp.asarray(w), jnp.asarray(acc0))
+    ids = jnp.asarray(rng.permutation(v)[:n].astype(np.int32))  # distinct
+    g = jnp.asarray(rng.normal(0, 0.5, (n, d)).astype(np.float32))
+    gp = pack_grads(g)
+    for kind in ("adagrad", "sgd"):
+        got = apply_row_updates(packed, ids, gp, lr=0.25, d=d, kind=kind,
+                                interpret=True)
+        want = _apply_row_updates_jnp(packed, ids, gp, 0.25, kind, 1e-8, d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+        # untouched rows keep their values
+        mask = np.ones(v, bool)
+        mask[np.asarray(ids)] = False
+        np.testing.assert_array_equal(np.asarray(got)[mask],
+                                      np.asarray(packed)[mask])

@@ -36,7 +36,8 @@ def _planted(n, vocab, t=5, seed=0):
 
 @pytest.mark.parametrize("kind,mode", [
     ("adagrad", "dedup"), ("adagrad", "sorted"), ("adagrad", "plain"),
-    ("sgd", "dedup"), ("sgd", "plain"),
+    ("adagrad", "fused"), ("sgd", "dedup"), ("sgd", "plain"),
+    ("sgd", "fused"),
 ])
 def test_scanned_learns_planted_signal(kind, mode):
     vocab = 200
@@ -76,6 +77,30 @@ def test_sgd_update_modes_are_numerically_identical():
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(tables["dedup"], tables["plain"],
                                rtol=1e-5, atol=1e-7)
+
+
+def test_fused_matches_dedup_adagrad_exactly():
+    """fused (packed-row Pallas optimizer; jnp fallback on CPU) and dedup
+    are both exact row-wise adagrad over segment-summed duplicates, so
+    tables AND accumulators must agree."""
+    vocab = 100
+    train = _planted(2000, vocab, seed=11)
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(16,))
+    cfg = TrainerConfig(batch_size=512, epochs=2, early_stop=0,
+                        shuffle=False, seed=3)
+    out = {}
+    for mode in ("dedup", "fused"):
+        r = train_sparse_scanned(model, train, cfg,
+                                 TableOptConfig(kind="adagrad", lr=0.3,
+                                                update_mode=mode))
+        out[mode] = (np.asarray(r.table[:vocab]), np.asarray(r.acc[:vocab]),
+                     r.loss_curve)
+    np.testing.assert_allclose(out["fused"][0], out["dedup"][0],
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(out["fused"][1], out["dedup"][1],
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(out["fused"][2], out["dedup"][2], rtol=1e-5)
 
 
 def test_scanned_bf16_and_ragged_predict():
