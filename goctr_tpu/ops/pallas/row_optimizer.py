@@ -180,14 +180,17 @@ def _apply_row_updates_jnp(table_packed, ids, g_packed, lr, kind, eps,
 
 def pack_table(weights: jax.Array, acc: jax.Array | None = None
                ) -> jax.Array:
-    """[V, D] weights (+ optional [V] adagrad acc) → packed [V, 128]."""
+    """[V, D] weights (+ optional [V] adagrad acc) → packed [V, 128].
+
+    Built with lane-slice updates, NOT concatenate: a concatenated [V, 1]
+    accumulator column pads 128× under the (8, 128) tile layout (measured:
+    5.8GB for V=12.2M — HBM OOM at bench scale)."""
     v, d = weights.shape
-    if acc is None:
-        acc = jnp.zeros((v,), jnp.float32)
-    pad = jnp.zeros((v, LANES - d - 1), jnp.float32)
-    return jnp.concatenate(
-        [weights.astype(jnp.float32), acc[:, None].astype(jnp.float32),
-         pad], axis=1)
+    packed = jnp.zeros((v, LANES), jnp.float32)
+    packed = packed.at[:, :d].set(weights.astype(jnp.float32))
+    if acc is not None:
+        packed = packed.at[:, d].set(acc.astype(jnp.float32))
+    return packed
 
 
 def unpack_table(table_packed: jax.Array, d: int):
@@ -196,8 +199,10 @@ def unpack_table(table_packed: jax.Array, d: int):
 
 
 def pack_grads(g: jax.Array) -> jax.Array:
-    """[n, D] row gradients → [n, 128] (g | ‖g‖² | 0) update rows."""
+    """[n, D] row gradients → [n, 128] (g | ‖g‖² | 0) update rows.
+    Lane-slice updates for the same tiling reason as pack_table."""
     n, d = g.shape
-    sq = jnp.sum(g * g, axis=1, keepdims=True)
-    pad = jnp.zeros((n, LANES - d - 1), jnp.float32)
-    return jnp.concatenate([g.astype(jnp.float32), sq, pad], axis=1)
+    gp = jnp.zeros((n, LANES), g.dtype)
+    gp = gp.at[:, :d].set(g)
+    gp = gp.at[:, d].set(jnp.sum(g * g, axis=1))
+    return gp.astype(jnp.float32)
