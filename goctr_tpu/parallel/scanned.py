@@ -360,11 +360,21 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
             b_y = jnp.take(y, idx)
             b_w = jnp.take(w, idx)
 
-            # fused mode gathers packed rows; slice off the weight lanes
-            # (XLA fuses the slice into the gather's copy)
+            # fused mode gathers only the weight lanes of the packed rows —
+            # explicit slice_sizes=(1, D) so neither the gather traffic nor
+            # the materialized batch ever includes the acc/pad lanes
+            # (take()[..., :D] materialized [bs, T, 128] f32 first:
+            # measured RESOURCE_EXHAUSTED at bench scale)
             def rows_of(ids):
-                r = jnp.take(table, ids, axis=0)
-                return (r[..., :D] if fused else r).astype(cd)
+                if not fused:
+                    return jnp.take(table, ids, axis=0).astype(cd)
+                dn = jax.lax.GatherDimensionNumbers(
+                    offset_dims=(ids.ndim,), collapsed_slice_dims=(0,),
+                    start_index_map=(0,))
+                r = jax.lax.gather(
+                    table, ids[..., None], dn, slice_sizes=(1, D),
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+                return r.astype(cd)
 
             if topt.sorted_gather:
                 flat = jnp.concatenate([b_bids.reshape(-1), b_iids])
