@@ -82,10 +82,17 @@ def main() -> None:
         n, vocab, t, u, c = 5_000_000, 10_000_000, 32, 48, 16
         hidden, epochs = (1024, 512, 256), 4
         bs = int(_arg("batch", "16384"))
+        # BASELINE config-#5 single-chip variant (100M-row table):
+        #   python bench.py --vocab=100000000 --dim=16 --rows=1000000
+        n = int(_arg("rows", str(n)))
+        vocab = int(_arg("vocab", str(vocab)))
+        t = int(_arg("t", str(t)))
+        epochs = int(_arg("epochs", str(epochs)))
 
     mode = _arg("mode", "dedup")
     sorted_gather = "--sorted_gather" in sys.argv
-    model = SparseCTR(item_vocab=vocab, emb_dim=64, u_profile_dim=u,
+    dim = int(_arg("dim", "64")) if not smoke else 64
+    model = SparseCTR(item_vocab=vocab, emb_dim=dim, u_profile_dim=u,
                       ctx_dim=c, behavior_len=t, hidden=hidden,
                       activation="relu", compute_dtype=jnp.bfloat16)
     sample, uids = make_workload(n, vocab, t, u, c)
@@ -130,7 +137,7 @@ def main() -> None:
         "mfu_pct": round(mfu_pct, 2),
         "model_bytes_per_example": round(bytes_ex, 0),
         "hbm_util_pct": round(hbm_util_pct, 2),
-        "workload": (f"sparse_ctr vocab={vocab} dim=64 T={t} "
+        "workload": (f"sparse_ctr vocab={vocab} dim={dim} T={t} "
                      f"hidden={'x'.join(map(str, hidden))} bf16 "
                      f"rows={n} batch={bs} table_update={mode} loss_last="
                      f"{round(ranker.loss_curve[-1], 4)}"),
