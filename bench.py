@@ -81,7 +81,7 @@ def main() -> None:
     else:
         n, vocab, t, u, c = 5_000_000, 10_000_000, 32, 48, 16
         hidden, epochs = (1024, 512, 256), 4
-        bs = int(_arg("batch", "16384"))
+        bs = int(_arg("batch", "32768"))
         # BASELINE config-#5 single-chip variant (100M-row table):
         #   python bench.py --vocab=100000000 --dim=16 --rows=1000000
         n = int(_arg("rows", str(n)))
@@ -89,7 +89,10 @@ def main() -> None:
         t = int(_arg("t", str(t)))
         epochs = int(_arg("epochs", str(epochs)))
 
-    mode = _arg("mode", "dedup")
+    # default is the strategy proven stable at full 10M-vocab scale on the
+    # chip (BENCH_NOTES.md: dedup/fused fault the TPU worker at this scale —
+    # reproduce with --mode=fused; isolation notes in BENCH_NOTES)
+    mode = _arg("mode", "plain")
     sorted_gather = "--sorted_gather" in sys.argv
     dim = int(_arg("dim", "64")) if not smoke else 64
     model = SparseCTR(item_vocab=vocab, emb_dim=dim, u_profile_dim=u,

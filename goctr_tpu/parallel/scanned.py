@@ -59,9 +59,14 @@ class TableOptConfig:
                      accumulator packed per 128-lane row, one pipelined
                      read-modify-write DMA pair per unique row instead of
                      XLA's two sequential scatter loops. Requires D < 128.
+                     CAUTION: faults the TPU worker at bench scale
+                     (vocab 10M, bs 16384; clean at smoke scale) — under
+                     isolation, see BENCH_NOTES.md 2026-08-20. Correct on
+                     CPU/virtual-mesh tests.
       * ``dedup``  — sort ids, segment-sum duplicate rows, one scatter with
                      sorted+unique index guarantees; makes adagrad exact
-                     (duplicates no longer race).
+                     (duplicates no longer race). Same full-scale TPU-worker
+                     fault caveat as ``fused`` (shared pipeline).
       * ``sorted`` — sort ids, scatter with indices_are_sorted only.
       * ``plain``  — direct .at[ids].add; simplest. At uniform vocab=10M
                      (few in-batch duplicates) plain and dedup are within

@@ -151,6 +151,49 @@ def bench_scatter(reps: int = 8):
               f"-> {n / dt / 1e6:.2f}M row-updates/s")
 
 
+def bench_fused(reps: int = 8):
+    """Fused Pallas row-optimizer (ops/pallas/row_optimizer.py) at bench
+    scale, kernel-only: isolates the kernel from the dedup pipeline (sort +
+    segment_sum) it sits behind in parallel/scanned.py — if bench.py
+    --mode=fused faults the worker but this passes, the pipeline is the
+    suspect; if this faults, the kernel is."""
+    from goctr_tpu.ops.pallas.row_optimizer import (
+        ROWS_PER_STEP, apply_row_updates, pack_grads)
+
+    v, n, d = _arg("v", 12_000_000), _arg("n", 540_672), _arg("d", 64)
+    n = -(-n // ROWS_PER_STEP) * ROWS_PER_STEP
+    table = jnp.zeros((v, 128), jnp.float32)        # packed (w | acc | pad)
+    # pairwise-distinct in-bounds ids per rep (kernel contract): strided
+    # walk with a stride coprime to V, distinct phase per rep
+    import numpy as np
+    stride = 7_919_993                               # prime, ≉ V/k
+    base = (np.arange(n, dtype=np.int64) * stride) % v
+    ids = jnp.asarray(
+        ((base[None, :] + np.arange(reps, dtype=np.int64)[:, None] * 101)
+         % v).astype(np.int32))
+    g = pack_grads(jax.random.normal(jax.random.key(2), (n, d), jnp.float32))
+    nbytes = n * 128 * 4.0 * 2.0                     # packed-row RMW
+
+    @jax.jit
+    def run(tab, ids):
+        return jax.lax.scan(
+            lambda t, i: (apply_row_updates(t, i, g, lr=0.1, d=d), None),
+            tab, ids)[0]
+
+    print(f"fused row-optimizer  V={v} n={n} D={d}  ({reps} varied id sets, "
+          f"one dispatch; packed table carried through the scan)")
+    out = run(table, ids)
+    jax.block_until_ready(out)                       # compile + warm
+    t0 = time.perf_counter()
+    out = run(table, ids)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{'pallas fused adagrad':28s} {dt * 1e3:9.3f} ms/call   "
+          f"{nbytes / dt / 1e9:8.1f} GB/s   "
+          f"-> {n / dt / 1e6:.2f}M row-updates/s   "
+          f"(checksum {float(jnp.sum(out[:, :d])):.3e})")
+
+
 def main():
     whiches = sys.argv[1:] or ["din"]
     print("backend:", jax.default_backend(), jax.devices())
@@ -160,7 +203,7 @@ def main():
         if which.startswith("--"):
             continue
         fn = {"din": bench_din, "gather": bench_gather,
-              "scatter": bench_scatter}.get(which)
+              "scatter": bench_scatter, "fused": bench_fused}.get(which)
         if fn is None:
             raise SystemExit(f"unknown bench {which!r}")
         try:
