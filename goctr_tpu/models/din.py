@@ -40,6 +40,13 @@ class DIN:
     use_bias: bool = True
     parity_init: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    # "xla" (default) or "pallas". Measured on a v5e at B=1024, T=512,
+    # D=64 with amortized varied-input scans (BENCH_NOTES 2026-08-20): the
+    # fused-XLA path runs 1.25 ms/call (107 GB/s on the behavior stream) vs
+    # the blockwise Pallas kernel's 2.63 ms — XLA's fusion already keeps the
+    # [B,T,D] stream HBM-bound, so the kernel stays opt-in for ablation and
+    # as the template for shapes XLA mishandles.
+    attention_impl: str = "xla"
 
     def __post_init__(self):
         if self.behavior_dim != self.i_feature_dim:
@@ -71,9 +78,7 @@ class DIN:
         cd = self.compute_dtype
         behaviors = behaviors.astype(cd)              # [B, T, D]
 
-        if self.behavior_len >= 256:
-            # long sequences stream through the blockwise Pallas kernel
-            # (no [B,T,*] HBM intermediates); tiny T stays on the XLA path
+        if self.attention_impl == "pallas":
             from goctr_tpu.ops.pallas.din_attention import din_attention_pool
             pooled = din_attention_pool(
                 behaviors, item.astype(cd), params["att0"].astype(cd))

@@ -36,18 +36,24 @@ def _arg(name: str, default: int) -> int:
     return default
 
 
-def _timed_scan(fn, xs, label: str, bytes_per_call: float, reps: int):
-    """One dispatch scanning fn over `reps` varied inputs; returns s/call."""
+def _timed_scan(fn, xs, label: str, bytes_per_call: float, reps: int,
+                consts=()):
+    """One dispatch scanning fn over `reps` varied inputs; returns s/call.
+
+    Any large array fn needs (embedding table, grad block, ...) MUST go in
+    `consts`, which are threaded as explicit jit arguments — a closure
+    capture becomes an HLO constant and the relay's remote-compile endpoint
+    rejects the multi-hundred-MB request body with HTTP 413 (measured)."""
 
     @jax.jit
-    def run(xs):
+    def run(consts, xs):
         def body(acc, x):
-            return acc + jnp.sum(fn(*x)), None
+            return acc + jnp.sum(fn(*consts, *x)), None
         return jax.lax.scan(body, jnp.float32(0), xs)[0]
 
-    out = float(run(xs))  # compile + warm
+    out = float(run(consts, xs))  # compile + warm
     t0 = time.perf_counter()
-    out = float(run(xs))
+    out = float(run(consts, xs))
     dt = (time.perf_counter() - t0) / reps
     gbs = bytes_per_call / dt / 1e9
     print(f"{label:28s} {dt * 1e3:9.3f} ms/call   {gbs:8.1f} GB/s   "
@@ -91,10 +97,11 @@ def bench_gather(reps: int = 32):
     nbytes = b * k * d * 4.0        # K random row-reads per output row
     print(f"gather+pool  V={v} B={b} K={k} D={d}  ({reps} varied inputs, "
           f"one dispatch)")
-    _timed_scan(lambda i: fused_gather_pool_jnp(table, i, "mean"), (ids,),
-                "jnp take+sum", nbytes, reps)
-    _timed_scan(lambda i: fused_gather_pool_pallas(table, i, "mean"), (ids,),
-                "pallas (scalar-prefetch)", nbytes, reps)
+    _timed_scan(lambda tab, i: fused_gather_pool_jnp(tab, i, "mean"), (ids,),
+                "jnp take+sum", nbytes, reps, consts=(table,))
+    _timed_scan(lambda tab, i: fused_gather_pool_pallas(tab, i, "mean"),
+                (ids,), "pallas (scalar-prefetch)", nbytes, reps,
+                consts=(table,))
 
 
 def bench_scatter(reps: int = 8):
@@ -113,15 +120,15 @@ def bench_scatter(reps: int = 8):
     g = jax.random.normal(jax.random.key(2), (n, d), jnp.float32)
     nbytes = n * d * 4.0 * 2.0          # RMW of n rows
 
-    def plain(tab, i):
+    def plain(tab, g, i):
         return tab.at[i].add(g)
 
-    def sorted_unique(tab, i):
+    def sorted_unique(tab, g, i):
         from goctr_tpu.ops.scatter import scatter_add_rows
         si = jnp.sort(i)                 # dups possible but rare (n ≪ v)
         return scatter_add_rows(tab, si, g, sorted_ids=True)
 
-    def sort_only(tab, i):
+    def sort_only(tab, g, i):
         si = jnp.sort(i)
         seg = jnp.cumsum(jnp.concatenate(
             [jnp.ones((1,), jnp.int32),
@@ -137,13 +144,14 @@ def bench_scatter(reps: int = 8):
                       ("sort+segsum (no scatter)", sort_only)]:
 
         @jax.jit
-        def run(tab, ids, fn=fn):
-            return jax.lax.scan(lambda t, i: (fn(t, i), None), tab, ids)[0]
+        def run(tab, g, ids, fn=fn):     # g explicit: closure => HTTP 413
+            return jax.lax.scan(lambda t, i: (fn(t, g, i), None), tab,
+                                ids)[0]
 
-        out = run(table, ids)
+        out = run(table, g, ids)
         jax.block_until_ready(out)       # compile + warm
         t0 = time.perf_counter()
-        out = run(table, ids)
+        out = run(table, g, ids)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / reps
         print(f"{label:28s} {dt * 1e3:9.3f} ms/call   "
@@ -160,7 +168,7 @@ def bench_fused(reps: int = 8):
     from goctr_tpu.ops.pallas.row_optimizer import (
         ROWS_PER_STEP, apply_row_updates, pack_grads)
 
-    v, n, d = _arg("v", 12_000_000), _arg("n", 540_672), _arg("d", 64)
+    v, n, d = _arg("v", 10_000_000), _arg("n", 540_672), _arg("d", 64)
     n = -(-n // ROWS_PER_STEP) * ROWS_PER_STEP
     table = jnp.zeros((v, 128), jnp.float32)        # packed (w | acc | pad)
     # pairwise-distinct in-bounds ids per rep (kernel contract): strided
@@ -174,18 +182,22 @@ def bench_fused(reps: int = 8):
     g = pack_grads(jax.random.normal(jax.random.key(2), (n, d), jnp.float32))
     nbytes = n * 128 * 4.0 * 2.0                     # packed-row RMW
 
-    @jax.jit
-    def run(tab, ids):
+    import functools
+
+    # donate the packed table: without it the scan carry double-buffers
+    # the [V, 128] table (2 x 5.1GB at V=10M -> RESOURCE_EXHAUSTED, measured)
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(tab, g, ids):                 # g explicit: closure => HTTP 413
         return jax.lax.scan(
             lambda t, i: (apply_row_updates(t, i, g, lr=0.1, d=d), None),
             tab, ids)[0]
 
     print(f"fused row-optimizer  V={v} n={n} D={d}  ({reps} varied id sets, "
           f"one dispatch; packed table carried through the scan)")
-    out = run(table, ids)
+    out = run(table, g, ids)
     jax.block_until_ready(out)                       # compile + warm
     t0 = time.perf_counter()
-    out = run(table, ids)
+    out = run(out, g, ids)                 # table was donated: reuse output
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
     print(f"{'pallas fused adagrad':28s} {dt * 1e3:9.3f} ms/call   "

@@ -157,8 +157,11 @@ def test_dropout_only_in_train_mode(planted):
 
 
 def test_din_long_sequence_kernel_path():
-    """T>=256 routes through the Pallas attention kernel (interpret mode on
-    CPU) and still produces finite scores consistent with the jnp math."""
+    """attention_impl='pallas' routes long sequences through the Pallas
+    attention kernel (interpret mode on CPU) and still produces finite
+    scores consistent with the jnp math. The route is opt-in: on-chip
+    measurement showed the fused-XLA path 2x faster at T=512 (BENCH_NOTES
+    2026-08-20)."""
     from goctr_tpu.models.base import split_blocks
     import jax, jax.numpy as jnp
     U2, T2, D2 = 4, 256, 8
@@ -166,7 +169,7 @@ def test_din_long_sequence_kernel_path():
     info = SampleInfo((0, U2), (U2, U2 + T2 * D2),
                       (U2 + T2 * D2, U2 + T2 * D2 + D2),
                       (U2 + T2 * D2 + D2, W2))
-    model = DIN(U2, T2, D2, D2, 2)
+    model = DIN(U2, T2, D2, D2, 2, attention_impl="pallas")
     params = model.init_params(jax.random.key(0))
     x = jnp.asarray(np.random.default_rng(0).random((8, W2)), jnp.float32)
     blocks = split_blocks(x, info, T2)
