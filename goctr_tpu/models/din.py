@@ -53,6 +53,10 @@ class DIN:
             raise ValueError(
                 f"behavior_dim {self.behavior_dim} != i_feature_dim "
                 f"{self.i_feature_dim} (required by DIN attention)")
+        if self.attention_impl not in ("xla", "pallas"):
+            raise ValueError(
+                f"attention_impl must be 'xla' or 'pallas', got "
+                f"{self.attention_impl!r}")
 
     @property
     def concat_dim(self) -> int:
@@ -79,8 +83,12 @@ class DIN:
         behaviors = behaviors.astype(cd)              # [B, T, D]
 
         if self.attention_impl == "pallas":
-            from goctr_tpu.ops.pallas.din_attention import din_attention_pool
-            pooled = din_attention_pool(
+            # explicit opt-in forces the kernel at every T (the auto-router
+            # din_attention_pool would silently fall back to jnp below its
+            # min_seq_for_pallas threshold — ADVICE r2)
+            from goctr_tpu.ops.pallas.din_attention import (
+                din_attention_pool_pallas)
+            pooled = din_attention_pool_pallas(
                 behaviors, item.astype(cd), params["att0"].astype(cd))
         else:
             item3 = item.astype(cd)[:, None, :]       # [B, 1, D]

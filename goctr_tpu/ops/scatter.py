@@ -1,12 +1,17 @@
-"""Sorted/deduplicated scatter-add — the TPU-fast path for sparse row updates.
+"""Sorted/deduplicated scatter-add for sparse row updates.
 
 XLA must assume a plain `.at[ids].add(rows)` may contain colliding indices
 and serializes the writes (measured ~order-of-magnitude slower than the
-tower compute at DLRM scale, BENCH_NOTES.md). Sorting the ids and
-segment-summing duplicate rows lets the scatter carry the
-`indices_are_sorted` + `unique_indices` guarantees, which XLA lowers to a
-vectorized update. Used by the scanned SparseCTR trainer
-(parallel/scanned.py) and the word2vec epoch (embedding/word2vec.py).
+tower compute at DLRM scale, BENCH_NOTES.md). Sorting + segment-summing
+duplicates lets the scatter carry `indices_are_sorted` + `unique_indices`.
+MEASURED CAVEAT (BENCH_NOTES r2): on a v5e these promises do NOT unlock a
+vectorized scatter — XLA still emits a sequential per-row loop at the same
+~4M row-updates/s as plain mode. What dedup buys is (a) exact row-wise
+adagrad (duplicates no longer race) and (b) collision-free pairwise-distinct
+rows, the contract the Pallas fused row-optimizer
+(ops/pallas/row_optimizer.py) needs to overlap its read-modify-write DMAs —
+THAT kernel is the fast path, not this scatter. Used by the scanned
+SparseCTR trainer (parallel/scanned.py) and word2vec (embedding/word2vec.py).
 """
 from __future__ import annotations
 

@@ -44,44 +44,15 @@ from goctr_tpu.optim.optimizers import make_solver
 from goctr_tpu.optim.schedules import make_schedule
 from goctr_tpu.parallel.sparse_ctr import SparseCTR
 from goctr_tpu.parallel.sparse_trainer import SparseSample
+from goctr_tpu.parallel.table_opt import TableOptConfig
+
+__all__ = [
+    "TableOptConfig", "TrainedScanned", "train_sparse_scanned",
+    "save_scanned_checkpoint", "load_scanned_checkpoint",
+    "model_bytes_per_example", "model_flops_per_example", "table_pad_rows",
+]
 
 log = logging.getLogger(__name__)
-
-
-@dataclasses.dataclass
-class TableOptConfig:
-    """Row-wise optimizer for the embedding table.
-
-    update_mode selects the scatter strategy (measured on a v5e, 10M×64
-    table, 1.08M update rows/batch — see BENCH_NOTES.md):
-      * ``fused``  — dedup pipeline + the Pallas fused row-optimizer kernel
-                     (ops/pallas/row_optimizer.py): weights and adagrad
-                     accumulator packed per 128-lane row, one pipelined
-                     read-modify-write DMA pair per unique row instead of
-                     XLA's two sequential scatter loops. Requires D < 128.
-                     CAUTION: faults the TPU worker at bench scale
-                     (vocab 10M, bs 16384; clean at smoke scale) — under
-                     isolation, see BENCH_NOTES.md 2026-08-20. Correct on
-                     CPU/virtual-mesh tests.
-      * ``dedup``  — sort ids, segment-sum duplicate rows, one scatter with
-                     sorted+unique index guarantees; makes adagrad exact
-                     (duplicates no longer race). Same full-scale TPU-worker
-                     fault caveat as ``fused`` (shared pipeline).
-      * ``sorted`` — sort ids, scatter with indices_are_sorted only.
-      * ``plain``  — direct .at[ids].add; simplest. At uniform vocab=10M
-                     (few in-batch duplicates) plain and dedup are within
-                     ~20% of each other — XLA lowers both scatters to
-                     sequential per-row loops (~4M row-updates/s), which is
-                     what ``fused`` exists to beat.
-    """
-    kind: str = "adagrad"       # adagrad | sgd
-    lr: float = 0.01
-    eps: float = 1e-8
-    update_mode: str = "dedup"  # dedup | sorted | plain
-    # gather the batch's embedding rows in ascending-id order (one sort +
-    # inverse take) instead of raw order — A/B knob for the HBM-random-read
-    # bound of the forward gather
-    sorted_gather: bool = False
 
 
 @dataclasses.dataclass

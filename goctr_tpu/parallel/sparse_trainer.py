@@ -54,6 +54,11 @@ class TrainedSparseRanker:
     loss_curve: list[float]
     epoch_times: list[float]
     opt_state: object = dataclasses.field(default=None, repr=False)
+    # sparse-update path only: [V_pad] row-sharded adagrad accumulator and
+    # the max per-step count of unique ids dropped by the dedup'd lookup
+    # exchange (0 = every batch fit lookup_dedup_cap; nonzero = grow the cap)
+    acc: object = dataclasses.field(default=None, repr=False)
+    lookup_overflow_max: int = 0
 
     def predict(self, sample: SparseSample, batch_size: int = 8192
                 ) -> np.ndarray:
@@ -91,7 +96,21 @@ def _put_batch(sample: SparseSample, sl: slice, pad: int, bsh) -> SparseBatch:
 
 
 def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
-                 cfg: Optional[TrainerConfig] = None) -> TrainedSparseRanker:
+                 cfg: Optional[TrainerConfig] = None,
+                 table_opt=None) -> TrainedSparseRanker:
+    """Multi-chip training over a (data, model) mesh.
+
+    table_opt (parallel/table_opt.TableOptConfig) switches the embedding
+    table to SPARSE row-wise updates (make_sharded_sparse_train_step): the
+    table never enters autodiff, so no [V, D] cotangent or dense-optimizer
+    moments are ever materialized — required at BASELINE config-#5 vocab
+    (100M rows). table_opt=None keeps the dense path (table trained by the
+    same optax solver as the tower; fine at small vocab, 3 table-sized
+    extra buffers).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     cfg = cfg or TrainerConfig()
     n = sample.rows
     d = mesh.shape["data"]
@@ -103,11 +122,22 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
         momentum=cfg.momentum, beta1=cfg.beta1, beta2=cfg.beta2,
         epsilon=cfg.epsilon)
     params = model.init_params(jax.random.key(cfg.seed), mesh)
-    opt_state = solver.init(params)
     psh = param_shardings(params, mesh)
     params = jax.device_put(params, psh)
+    sparse = table_opt is not None
+    acc = None
+    if sparse:
+        from goctr_tpu.parallel.train import make_sharded_sparse_train_step
+        dense = {k: v for k, v in params.items() if k != "item_table"}
+        opt_state = solver.init(dense)
+        acc = jax.device_put(
+            jnp.zeros((params["item_table"].shape[0],), jnp.float32),
+            NamedSharding(mesh, P("model")))
+        step = make_sharded_sparse_train_step(model, solver, mesh, table_opt)
+    else:
+        opt_state = solver.init(params)
+        step = make_sharded_train_step(model, solver, mesh)
     opt_state = jax.device_put(opt_state, param_shardings(opt_state, mesh))
-    step = make_sharded_train_step(model, solver, mesh)
     bsh = batch_shardings(mesh)
 
     rng = np.random.default_rng(cfg.seed)
@@ -115,6 +145,7 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
     best, no_improve = float("inf"), 0
     loss_curve: list[float] = []
     epoch_times: list[float] = []
+    overflow_max = 0
     n_batches = -(-n // bs)
     for epoch in range(cfg.epochs):
         te = time.perf_counter()
@@ -130,7 +161,19 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
                 ctx=sample.ctx[idx], labels=sample.labels[idx])
             batch = _put_batch(sub, slice(None), pad, bsh)
             key, k = jax.random.split(key)
-            params, opt_state, loss = step(params, opt_state, batch, k)
+            if sparse:
+                params, opt_state, acc, loss, over = step(
+                    params, opt_state, acc, batch, k)
+                over = int(over)
+                if over > overflow_max:
+                    overflow_max = over
+                    log.warning(
+                        "lookup dedup_cap overflow: %d unique ids dropped "
+                        "this step — results are inexact, raise "
+                        "lookup_dedup_cap (currently %d)", over,
+                        model.lookup_dedup_cap)
+            else:
+                params, opt_state, loss = step(params, opt_state, batch, k)
             tot += float(loss) * idx.size
         cost = tot / n
         loss_curve.append(cost)
@@ -147,4 +190,5 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
 
     return TrainedSparseRanker(model=model, params=params, mesh=mesh,
                                loss_curve=loss_curve,
-                               epoch_times=epoch_times, opt_state=opt_state)
+                               epoch_times=epoch_times, opt_state=opt_state,
+                               acc=acc, lookup_overflow_max=overflow_max)

@@ -1,0 +1,43 @@
+"""Row-wise embedding-table optimizer config, shared by both trainers.
+
+Lives in its own module so the single-device scanned trainer
+(parallel/scanned.py) and the multi-chip sharded step (parallel/train.py)
+can share one config without an import cycle. The reference has no sparse
+trainer at all (embeddings are a frozen in-RAM Go map, rcmd.go:501-531);
+row-wise adagrad here is the DLRM-standard update for learned tables.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class TableOptConfig:
+    """Row-wise optimizer for the embedding table.
+
+    update_mode selects the scatter strategy (measured on a v5e, 10M×64
+    table, 1.08M update rows/batch — see BENCH_NOTES.md):
+      * ``fused``  — dedup pipeline + the Pallas fused row-optimizer kernel
+                     (ops/pallas/row_optimizer.py): weights and adagrad
+                     accumulator packed per 128-lane row, one pipelined
+                     read-modify-write DMA pair per unique row instead of
+                     XLA's two sequential scatter loops. Requires D < 128.
+      * ``dedup``  — sort ids, segment-sum duplicate rows, one scatter with
+                     sorted+unique index guarantees; makes adagrad exact
+                     (duplicates no longer race).
+      * ``sorted`` — sort ids, scatter with indices_are_sorted only.
+      * ``plain``  — direct .at[ids].add; simplest. XLA lowers every one of
+                     the non-fused scatters to a sequential per-row loop
+                     (~4M row-updates/s regardless of promises,
+                     BENCH_NOTES.md) — ``fused`` is the fast path.
+    The multi-chip sharded step (make_sharded_sparse_train_step) always
+    dedups globally (exact adagrad) and ignores update_mode.
+    """
+    kind: str = "adagrad"       # adagrad | sgd
+    lr: float = 0.01
+    eps: float = 1e-8
+    update_mode: str = "dedup"  # fused | dedup | sorted | plain
+    # gather the batch's embedding rows in ascending-id order (one sort +
+    # inverse take) instead of raw order — A/B knob for the HBM-random-read
+    # bound of the forward gather
+    sorted_gather: bool = False

@@ -173,8 +173,15 @@ def bench_fused(reps: int = 8):
     table = jnp.zeros((v, 128), jnp.float32)        # packed (w | acc | pad)
     # pairwise-distinct in-bounds ids per rep (kernel contract): strided
     # walk with a stride coprime to V, distinct phase per rep
+    import math
+
     import numpy as np
     stride = 7_919_993                               # prime, ≉ V/k
+    if n > v or math.gcd(stride, v) != 1:
+        raise SystemExit(
+            f"--v={v}: need n ({n}) <= v and gcd({stride}, v) == 1, else "
+            "the strided walk repeats ids and races the kernel's "
+            "overlapping row DMAs (pairwise-distinct contract)")
     base = (np.arange(n, dtype=np.int64) * stride) % v
     ids = jnp.asarray(
         ((base[None, :] + np.arange(reps, dtype=np.int64)[:, None] * 101)

@@ -66,6 +66,151 @@ def test_sparse_trainer_with_dedup_lookup(mesh):
     assert auc > 0.8, auc
 
 
+def test_sharded_sparse_step_matches_scanned_dedup(mesh):
+    """make_sharded_sparse_train_step must reproduce train_sparse_scanned's
+    dedup-mode math exactly (VERDICT r2 #4): same init, same batches, same
+    keys → same losses, same dense params, same table — but with the table
+    living row-sharded and never entering autodiff."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from goctr_tpu.parallel.scanned import _table_update, table_pad_rows
+    from goctr_tpu.parallel.table_opt import TableOptConfig
+    from goctr_tpu.parallel.train import (
+        batch_shardings, make_sharded_sparse_train_step, param_shardings,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    vocab, D, T, B = 96, 8, 5, 64           # 96 % model=2 == 0: no padding
+    model = SparseCTR(item_vocab=vocab, emb_dim=D, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=T, hidden=(16, 8))
+    topt = TableOptConfig(kind="adagrad", lr=0.05, update_mode="dedup")
+    solver = optax.adam(1e-2)
+
+    params = model.init_params(jax.random.key(0), mesh)
+    params = jax.device_put(params, param_shardings(params, mesh))
+    dense = {k: v for k, v in params.items() if k != "item_table"}
+    opt_state = solver.init(dense)
+    acc = jax.device_put(jnp.zeros((vocab,), jnp.float32),
+                         NamedSharding(mesh, P("model")))
+    step = make_sharded_sparse_train_step(model, solver, mesh, topt)
+
+    # single-device reference: scanned-trainer math (_table_update dedup)
+    ref_dense = jax.device_get(dense)
+    ref_opt = solver.init(ref_dense)
+    pad_rows = table_pad_rows(B, T)
+    ref_table = jnp.concatenate(
+        [jnp.asarray(jax.device_get(params["item_table"])),
+         jnp.zeros((pad_rows, D), jnp.float32)])
+    ref_acc = jnp.zeros((vocab + pad_rows,), jnp.float32)
+
+    def ref_loss(dense_p, emb_b, emb_i, prof, ctx, mask, y, key):
+        logits = model.apply_pooled(dense_p, prof, emb_b, emb_i, ctx, mask,
+                                    train=True, key=key)
+        return jnp.mean(jnp.maximum(logits, 0) - logits * y +
+                        jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+    ref_grad = jax.value_and_grad(ref_loss, argnums=(0, 1, 2))
+
+    rng = np.random.default_rng(3)
+    bsh = batch_shardings(mesh)
+    losses, ref_losses = [], []
+    for i in range(4):
+        bids = rng.integers(-1, vocab, (B, T)).astype(np.int32)
+        iids = rng.integers(0, vocab, B).astype(np.int32)
+        prof = rng.random((B, 4)).astype(np.float32)
+        ctx = rng.random((B, 2)).astype(np.float32)
+        y = (rng.random(B) > 0.5).astype(np.float32)
+        key = jax.random.key(100 + i)
+
+        from goctr_tpu.parallel.sparse_ctr import SparseBatch
+        batch = SparseBatch(
+            user_profile=jax.device_put(prof, bsh.user_profile),
+            behavior_ids=jax.device_put(bids, bsh.behavior_ids),
+            item_ids=jax.device_put(iids, bsh.item_ids),
+            ctx=jax.device_put(ctx, bsh.ctx),
+            labels=jax.device_put(y, bsh.labels))
+        params, opt_state, acc, loss, over = step(params, opt_state, acc,
+                                                  batch, key)
+        assert int(over) == 0
+        losses.append(float(loss))
+
+        # reference step
+        mask = (bids >= 0).astype(np.float32)
+        emb_b = jnp.where(jnp.asarray(bids)[..., None] < 0, 0.0,
+                          jnp.take(ref_table, jnp.maximum(
+                              jnp.asarray(bids), 0), axis=0))
+        emb_i = jnp.take(ref_table, jnp.asarray(iids), axis=0)
+        rl, (g_d, g_b, g_i) = ref_grad(ref_dense, emb_b, emb_i,
+                                       jnp.asarray(prof), jnp.asarray(ctx),
+                                       jnp.asarray(mask), jnp.asarray(y),
+                                       key)
+        upd, ref_opt = solver.update(g_d, ref_opt, ref_dense)
+        ref_dense = jax.tree.map(lambda p, u: p + u, ref_dense, upd)
+        ids_flat = jnp.concatenate(
+            [jnp.asarray(bids).reshape(-1), jnp.asarray(iids)])
+        g_flat = jnp.concatenate([g_b.reshape(-1, D), g_i])
+        ref_table, ref_acc = _table_update(ref_table, ref_acc, ids_flat,
+                                           g_flat, topt, vocab)
+        ref_losses.append(float(rl))
+
+    np.testing.assert_allclose(losses, ref_losses, rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(params["item_table"])[:vocab],
+        np.asarray(ref_table)[:vocab], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(acc)[:vocab],
+                               np.asarray(ref_acc)[:vocab], rtol=2e-4)
+    # the sharded table never materialized a dense cotangent: opt_state
+    # covers only the dense tower (no [V, D]-shaped leaves)
+    for leaf in jax.tree.leaves(opt_state):
+        assert leaf.shape[:1] != (vocab,)
+
+
+def test_train_sparse_sparse_updates_end_to_end(mesh):
+    """train_sparse(table_opt=...) — the merged sparse path — must still
+    learn the planted signal, with zero dedup-cap overflow."""
+    from goctr_tpu.parallel.table_opt import TableOptConfig
+
+    vocab = 200
+    train = _planted(8000, vocab, seed=0)
+    test = _planted(1000, vocab, seed=1)
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(64, 32))
+    cfg = TrainerConfig(batch_size=1024, epochs=10, early_stop=0, lr=1e-2,
+                        l2=0.0)
+    ranker = train_sparse(model, train, mesh, cfg,
+                          table_opt=TableOptConfig(kind="adagrad", lr=0.1))
+    assert ranker.lookup_overflow_max == 0
+    auc = roc_auc_score(test.labels, ranker.predict(test))
+    assert auc > 0.8, auc
+
+
+def test_dedup_cap_overflow_detected(mesh):
+    """An over-cap batch must be DETECTED (nonzero overflow count), not
+    silently wrong (VERDICT r2 weak #4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from goctr_tpu.parallel.embedding import EmbeddingSpec, init_table, \
+        sharded_lookup
+
+    spec = EmbeddingSpec("t", vocab=64, dim=4)
+    table = init_table(jax.random.key(0), spec, mesh)
+    # 32 ids per data shard, ALL distinct → 32 uniques > cap=8 per shard
+    ids = jnp.arange(128, dtype=jnp.int32) % 64
+    out, over = sharded_lookup(table, ids, mesh, dedup_cap=8,
+                               with_overflow=True)
+    assert int(over) > 0
+    # and a comfortably-capped lookup reports zero
+    out2, over2 = sharded_lookup(table, ids, mesh, dedup_cap=64,
+                                 with_overflow=True)
+    assert int(over2) == 0
+    np.testing.assert_allclose(np.asarray(out2),
+                               np.asarray(sharded_lookup(table, ids, mesh)),
+                               rtol=1e-6)
+
+
 def test_sparse_predict_ragged(mesh):
     vocab = 500
     model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
