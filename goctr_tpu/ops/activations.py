@@ -52,10 +52,18 @@ def cosine_similarity(x, y, eps: float = 1e-8):
     (reference CosineSimilarity activation.go:52-85).
 
     x: [..., T, D], y: [..., 1, D] (or equal shapes) → [..., T].
+
+    Norms are clamped below at eps² BEFORE the sqrt: d/dx sqrt(Σx²) is
+    0/0 = NaN at an exactly-zero row, and zero rows are routine (padding
+    positions from sharded_lookup return zero vectors) — a masked-out NaN
+    still poisons gradients because 0·NaN = NaN. The clamp selects a
+    constant branch at zero, so zero rows get exact zero gradients through
+    the norm; values for any non-degenerate row are unchanged.
     """
     dot = jnp.sum(x * y, axis=-1)
-    xn = jnp.sqrt(jnp.sum(x * x, axis=-1))
-    yn = jnp.sqrt(jnp.sum(y * y, axis=-1))
+    e2 = jnp.asarray(eps, dot.dtype) ** 2
+    xn = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-1), e2))
+    yn = jnp.sqrt(jnp.maximum(jnp.sum(y * y, axis=-1), e2))
     return dot / (xn * yn + eps)
 
 

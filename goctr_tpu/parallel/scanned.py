@@ -159,44 +159,33 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
     if topt.update_mode not in ("dedup", "fused"):
         raise ValueError(f"unknown update_mode {topt.update_mode!r}")
 
-    # dedup/fused: segment-sum duplicate rows → one collision-free write per
-    # unique id. Also makes adagrad EXACT: the accumulated row gradient is
-    # squared once per batch (standard DLRM row-wise adagrad), no duplicate
-    # racing. The table/acc carry `2n + 2` junk pad rows (see V_ALLOC in
-    # train_sparse_scanned) so every index — including -1 behavior pads and
-    # empty dedup slots — maps to a DISTINCT in-range junk row receiving a
-    # zero update: the scatter runs with strictly-true sorted+unique
-    # promises and PROMISE_IN_BOUNDS, never the OOB-drop path (which
-    # faulted the TPU worker at 10M-vocab scale, BENCH_NOTES.md).
-    if topt.update_mode == "fused":
-        from goctr_tpu.ops.pallas.row_optimizer import ROWS_PER_STEP
-        n0 = ids_flat.shape[0]
-        n_to = -(-n0 // ROWS_PER_STEP) * ROWS_PER_STEP
-        if n_to > n0:                        # grid-multiple padding
-            ids_flat = jnp.concatenate(
-                [ids_flat, jnp.full((n_to - n0,), -1, ids_flat.dtype)])
-            g_flat = jnp.concatenate(
-                [g_flat, jnp.zeros((n_to - n0, g_flat.shape[1]),
-                                   g_flat.dtype)])
-    n = ids_flat.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    ids_clean = jnp.where(ids_flat >= 0, ids_flat, V + 1 + pos)
-    order = jnp.argsort(ids_clean)
-    s_ids = jnp.take(ids_clean, order)
-    s_g = jnp.take(g_flat, order, axis=0)
-    new = jnp.concatenate([jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
-    seg = jnp.cumsum(new) - 1
-    rows = jax.ops.segment_sum(s_g, seg, num_segments=n,
-                               indices_are_sorted=True)
-    sentinel = V + 1 + n + pos              # disjoint from the -1-pad range
-    uniq = sentinel.at[seg].set(s_ids, mode="promise_in_bounds")
+    # dedup/fused: sum duplicate rows → one collision-free write per unique
+    # id, which also makes adagrad EXACT (the accumulated row gradient is
+    # squared once per batch — standard DLRM row-wise adagrad). The summing
+    # is SCATTER-FREE (ops/segsum.py: sort + blockwise cumsum + one boundary
+    # gather) because jax.ops.segment_sum lowers to the same serial XLA
+    # scatter loop this path exists to avoid — measured as expensive as the
+    # final scatter itself (190 ms/1M rows, BENCH_NOTES r3). The output
+    # stays position-aligned: position i carries its run's full sum iff it
+    # is the run's last position (target = the id), else zeros targeted at
+    # a DISTINCT junk row past the vocab. The table/acc carry `2n + 2` junk
+    # pad rows (see V_ALLOC in train_sparse_scanned) so every target —
+    # including -1 behavior pads — is a real in-range row: scatters run
+    # with strictly-true unique promises and PROMISE_IN_BOUNDS, never the
+    # OOB-drop path (which faulted the TPU worker at 10M-vocab scale,
+    # BENCH_NOTES.md).
+    from goctr_tpu.ops.pallas.row_optimizer import ROWS_PER_STEP
+    from goctr_tpu.ops.segsum import segment_rows_dedup
+    n0 = ids_flat.shape[0]
+    n_to = -(-n0 // ROWS_PER_STEP) * ROWS_PER_STEP
+    tgt, rows = segment_rows_dedup(ids_flat, g_flat, V, pad_to=n_to)
 
     if topt.update_mode == "fused":
         # table is PACKED [V_alloc, 128] (w | acc | pad); one Pallas RMW
         # pass applies both the weight step and the adagrad accumulator
         from goctr_tpu.ops.pallas.row_optimizer import (
             apply_row_updates, pack_grads)
-        table = apply_row_updates(table, uniq, pack_grads(rows),
+        table = apply_row_updates(table, tgt, pack_grads(rows),
                                   lr=topt.lr, d=rows.shape[1],
                                   kind=topt.kind, eps=topt.eps)
         return table, acc
@@ -205,15 +194,15 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
     if topt.kind == "adagrad":
         row_sq = jnp.sum(rows * rows, axis=1)
         acc = jax.lax.scatter_add(
-            acc[:, None], uniq[:, None], row_sq[:, None], _SCAT_DNUMS,
-            indices_are_sorted=True, unique_indices=True,
-            mode=in_bounds)[:, 0]
-        scale = topt.lr * jax.lax.rsqrt(jnp.take(acc, uniq) + topt.eps)
+            acc[:, None], tgt[:, None], row_sq[:, None], _SCAT_DNUMS,
+            unique_indices=True, mode=in_bounds)[:, 0]
+        # junk rows: acc stays 0 → scale finite, rows exactly 0 → no-op
+        scale = topt.lr * jax.lax.rsqrt(jnp.take(acc, tgt) + topt.eps)
     else:
-        scale = jnp.full(uniq.shape, topt.lr, jnp.float32)
+        scale = jnp.full(tgt.shape, topt.lr, jnp.float32)
     table = jax.lax.scatter_add(
-        table, uniq[:, None], -scale[:, None] * rows, _SCAT_DNUMS,
-        indices_are_sorted=True, unique_indices=True, mode=in_bounds)
+        table, tgt[:, None], -scale[:, None] * rows, _SCAT_DNUMS,
+        unique_indices=True, mode=in_bounds)
     return table, acc
 
 
