@@ -29,23 +29,51 @@ V5E_BF16_PEAK_FLOPS = 197e12
 V5E_HBM_BYTES_PER_S = 819e9
 
 
-def make_workload(n, vocab, t, u, c, seed=0):
+def _zipf_ranks(rng, shape, n_ranks, s=1.05):
+    """Bounded-zipf rank draws in [0, n_ranks): P(r) ≈ (r+1)^-s — the
+    popularity law of real CTR traffic (a few hot items dominate; the
+    reference's MovieLens data is the same shape). Closed-form inverse CDF
+    of the continuous bounded power law (O(1)/draw — a discrete-cdf
+    searchsorted measured ~30× slower at 173M draws on this 2-vCPU host)."""
+    u = rng.random(shape)
+    t = float(n_ranks) ** (1.0 - s)              # V^(1-s) < 1 for s > 1
+    x = (1.0 - u * (1.0 - t)) ** (1.0 / (1.0 - s))
+    return np.minimum(x.astype(np.int64) - 1, n_ranks - 1).clip(0)
+
+
+def make_workload(n, vocab, t, u, c, seed=0, zipf=True):
     """Planted-parity sparse sample: label = item parity == behavior-majority
     parity (same rule as tests/test_sparse_trainer.py) so the benchmark is a
-    real learning workload, not noise-fitting."""
+    real learning workload, not noise-fitting.
+
+    zipf=True draws item popularity from a bounded zipf (s=1.05) over the
+    vocab, with hot ranks scattered across the id space by a fixed
+    multiplicative-hash permutation — realistic CTR traffic where hot rows
+    repeat heavily (in-batch duplicates make the dedup'd table update
+    matter) AND the planted signal is learnable at 10M vocab: r2's uniform
+    draws touched each row ~16× in 4 epochs and the flagship never left
+    ln 2 (VERDICT r2 #2). zipf=False keeps the old uniform draws."""
     from goctr_tpu.parallel.sparse_trainer import SparseSample
 
     rng = np.random.default_rng(seed)
     uids = rng.integers(0, max(n // 256, 1), n).astype(np.int32)
     user_taste = rng.integers(0, 2, max(n // 256, 1))
     taste = user_taste[uids]
+    half = vocab // 2
+    if zipf:
+        # bijective rank→slot scatter (gcd(prime, half)==1 for even half)
+        prime = 2_654_435_761        # Knuth multiplicative hash, odd
+        def draw(shape):
+            r = _zipf_ranks(rng, shape, half)
+            return (r * prime) % half
+    else:
+        def draw(shape):
+            return rng.integers(0, half, shape, dtype=np.int64)
     bids = np.where(
         rng.random((n, t)) < 0.85,
-        rng.integers(0, vocab // 2, (n, t), dtype=np.int64) * 2
-        + taste[:, None],
-        rng.integers(0, vocab, (n, t), dtype=np.int64)).astype(np.int32)
-    iids = (rng.integers(0, vocab // 2, n, dtype=np.int64) * 2
-            + rng.integers(0, 2, n)).astype(np.int32)
+        draw((n, t)) * 2 + taste[:, None],
+        draw((n, t)) * 2 + rng.integers(0, 2, (n, t))).astype(np.int32)
+    iids = (draw((n,)) * 2 + rng.integers(0, 2, n)).astype(np.int32)
     y = ((iids % 2) == taste).astype(np.float32)
     return SparseSample(
         user_profile=rng.random((n, u), dtype=np.float32),
@@ -78,6 +106,7 @@ def main() -> None:
     if smoke:
         n, vocab, t, u, c = 20_000, 10_000, 8, 8, 4
         hidden, bs, epochs = (64, 32), 4096, 3
+        n_eval = 4_000
     else:
         n, vocab, t, u, c = 5_000_000, 10_000_000, 32, 48, 16
         hidden, epochs = (1024, 512, 256), 4
@@ -88,23 +117,34 @@ def main() -> None:
         vocab = int(_arg("vocab", str(vocab)))
         t = int(_arg("t", str(t)))
         epochs = int(_arg("epochs", str(epochs)))
+        n_eval = int(_arg("eval_rows", "250000"))
 
-    # default is the strategy proven stable at full 10M-vocab scale on the
-    # chip (BENCH_NOTES.md: dedup/fused fault the TPU worker at this scale —
-    # reproduce with --mode=fused; isolation notes in BENCH_NOTES)
-    mode = _arg("mode", "plain")
+    mode = _arg("mode", "fused")
+    zipf = _arg("zipf", "1") == "1"
     sorted_gather = "--sorted_gather" in sys.argv
     dim = int(_arg("dim", "64")) if not smoke else 64
     model = SparseCTR(item_vocab=vocab, emb_dim=dim, u_profile_dim=u,
                       ctx_dim=c, behavior_len=t, hidden=hidden,
                       activation="relu", compute_dtype=jnp.bfloat16)
-    sample, uids = make_workload(n, vocab, t, u, c)
+    # one draw, split train/held-out: same users + zipf popularity both sides
+    full, uids_full = make_workload(n + n_eval, vocab, t, u, c, zipf=zipf)
+    from goctr_tpu.parallel.sparse_trainer import SparseSample
+
+    def rows_slice(s, sl):
+        return SparseSample(
+            user_profile=s.user_profile[sl], behavior_ids=s.behavior_ids[sl],
+            item_ids=s.item_ids[sl], ctx=s.ctx[sl], labels=s.labels[sl])
+
+    sample = rows_slice(full, slice(0, n))
+    eval_sample = rows_slice(full, slice(n, n + n_eval))
+    eval_uids = uids_full[n:n + n_eval]
     cfg = TrainerConfig(batch_size=bs, epochs=epochs, early_stop=0,
                         lr=1e-3, shuffle=True, seed=0)
-    ranker = train_sparse_scanned(model, sample, cfg,
-                                  TableOptConfig(kind="adagrad", lr=0.1,
-                                                 update_mode=mode,
-                                                 sorted_gather=sorted_gather))
+    ranker = train_sparse_scanned(
+        model, sample, cfg,
+        TableOptConfig(kind="adagrad", lr=0.1, update_mode=mode,
+                       sorted_gather=sorted_gather,
+                       gather_impl=_arg("gather", "xla")))
 
     # first epoch includes jit compile; steady state = epochs 2..n
     steady = ranker.epoch_times[1:]
@@ -115,21 +155,32 @@ def main() -> None:
     hbm_util_pct = 100.0 * examples_per_s * bytes_ex / V5E_HBM_BYTES_PER_S
 
     extra = {}
-    if "--eval" in sys.argv:
-        # at-scale eval: bucketed on-device predict over all rows, then
+    if "--no-eval" not in sys.argv:
+        # held-out eval (always on): bucketed on-device predict, then
         # one-sort jittable AUC + segment GAUC (core/metrics.py) — the
         # ML-20M-scale counterpart of the reference's GAUC protocol
-        # (/root/reference/README.md:17,25,33)
+        # (/root/reference/README.md:17,25,33). A throughput number for a
+        # model that learns nothing proves nothing (VERDICT r2 #2).
         import jax
 
         from goctr_tpu.core.metrics import gauc_jit, roc_auc_jit
-        scores = ranker.predict(sample)
+        scores = ranker.predict(eval_sample)
         s_dev = jnp.asarray(scores)
-        y_dev = jnp.asarray(sample.labels, jnp.float32)
+        y_dev = jnp.asarray(eval_sample.labels, jnp.float32)
         extra["eval_auc"] = round(float(jax.jit(roc_auc_jit)(s_dev, y_dev)),
                                   4)
         extra["eval_gauc"] = round(float(jax.jit(gauc_jit)(
-            s_dev, y_dev, jnp.asarray(uids))), 4)
+            s_dev, y_dev, jnp.asarray(eval_uids))), 4)
+
+    if "--serve-bench" in sys.argv:
+        # model-scoring throughput at the reference's serving batch (400
+        # candidates/request, api.go:106-131): wall-clock over the full
+        # held-out slice in 400-row predict calls
+        import time as _time
+        t0 = _time.perf_counter()
+        _ = ranker.predict(eval_sample, batch_size=400)
+        dt = _time.perf_counter() - t0
+        extra["serving_scores_per_s"] = round(eval_sample.rows / dt, 1)
 
     print(json.dumps({
         "metric": "sparse_din_train_examples_per_s",
@@ -142,7 +193,8 @@ def main() -> None:
         "hbm_util_pct": round(hbm_util_pct, 2),
         "workload": (f"sparse_ctr vocab={vocab} dim={dim} T={t} "
                      f"hidden={'x'.join(map(str, hidden))} bf16 "
-                     f"rows={n} batch={bs} table_update={mode} loss_last="
+                     f"rows={n} batch={bs} table_update={mode} "
+                     f"ids={'zipf1.05' if zipf else 'uniform'} loss_last="
                      f"{round(ranker.loss_curve[-1], 4)}"),
         **extra,
     }))

@@ -329,10 +329,25 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
             # explicit slice_sizes=(1, D) so neither the gather traffic nor
             # the materialized batch ever includes the acc/pad lanes
             # (take()[..., :D] materialized [bs, T, 128] f32 first:
-            # measured RESOURCE_EXHAUSTED at bench scale)
+            # measured RESOURCE_EXHAUSTED at bench scale).
+            # gather_impl="pallas" swaps in the pipelined ring-DMA row
+            # gather (ops/pallas/row_gather.py) — full packed rows land in
+            # VMEM blocks with RING reads in flight; the :D lane slice
+            # fuses into the consumer.
             def rows_of(ids):
                 if not fused:
                     return jnp.take(table, ids, axis=0).astype(cd)
+                if topt.gather_impl == "pallas":
+                    from goctr_tpu.ops.pallas.row_gather import (
+                        ROWS_PER_STEP as GR, gather_rows_packed)
+                    flat = ids.reshape(-1)
+                    m = flat.shape[0]
+                    pad = -(-m // GR) * GR - m
+                    if pad:
+                        flat = jnp.concatenate(
+                            [flat, jnp.zeros((pad,), flat.dtype)])
+                    r = gather_rows_packed(table, flat)[:m, :D]
+                    return r.reshape(ids.shape + (D,)).astype(cd)
                 dn = jax.lax.GatherDimensionNumbers(
                     offset_dims=(ids.ndim,), collapsed_slice_dims=(0,),
                     start_index_map=(0,))

@@ -41,3 +41,8 @@ class TableOptConfig:
     # inverse take) instead of raw order — A/B knob for the HBM-random-read
     # bound of the forward gather
     sorted_gather: bool = False
+    # forward-gather implementation for the fused (packed-table) mode:
+    # "xla" = lax.gather with (1, D) slices; "pallas" = the pipelined
+    # ring-DMA row gather (ops/pallas/row_gather.py) — A/B via bench.py
+    # --gather=pallas, decided by measured epoch wall-clock
+    gather_impl: str = "xla"    # xla | pallas

@@ -140,3 +140,25 @@ def test_row_optimizer_kernel_interpret_matches_jnp(rng):
         mask[np.asarray(ids)] = False
         np.testing.assert_array_equal(np.asarray(got)[mask],
                                       np.asarray(packed)[mask])
+
+
+def test_row_gather_kernel_interpret_matches_take(rng):
+    from goctr_tpu.ops.pallas.row_gather import gather_rows_packed
+
+    v, n = 500, 2048
+    table = jnp.asarray(rng.normal(size=(v, 128)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, n).astype(np.int32))
+    got = gather_rows_packed(table, ids, interpret=True)
+    want = jnp.take(table, ids, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_row_gather_kernel_duplicates_and_multiblock(rng):
+    from goctr_tpu.ops.pallas.row_gather import gather_rows_packed
+
+    v, n = 64, 4096                       # 2 grid steps, heavy duplicates
+    table = jnp.asarray(rng.normal(size=(v, 128)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, v, n).astype(np.int32))
+    got = gather_rows_packed(table, ids, interpret=True)
+    want = jnp.take(table, ids, axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
