@@ -202,15 +202,52 @@ def bench_fused(reps: int = 8):
     print(f"fused row-optimizer  V={v} n={n} D={d}  ({reps} varied id sets, "
           f"one dispatch; packed table carried through the scan)")
     out = run(table, g, ids)
-    jax.block_until_ready(out)                       # compile + warm
+    # block_until_ready on a DONATED output through the relay reports
+    # impossible times (r3: 0.024 ms/call "22 TB/s"); force a host checksum
+    # inside the timed region instead
+    print("warm checksum", float(jnp.sum(out[:, :1])))
     t0 = time.perf_counter()
     out = run(out, g, ids)                 # table was donated: reuse output
-    jax.block_until_ready(out)
+    cs = float(jnp.sum(out[:, :1]))
     dt = (time.perf_counter() - t0) / reps
     print(f"{'pallas fused adagrad':28s} {dt * 1e3:9.3f} ms/call   "
           f"{nbytes / dt / 1e9:8.1f} GB/s   "
           f"-> {n / dt / 1e6:.2f}M row-updates/s   "
-          f"(checksum {float(jnp.sum(out[:, :d])):.3e})")
+          f"(checksum {cs:.3e})")
+
+
+def bench_rowgather(reps: int = 8):
+    """Random-row gather from a packed [V, 128] table at bench scale:
+    XLA's (1, D)-slice gather (the fused trainer's r2 forward path) vs
+    jnp.take of full packed rows vs the pipelined Pallas ring-DMA gather
+    (ops/pallas/row_gather.py). The forward-only ceiling measured this
+    bound at ~28.5 GB/s effective (BENCH_NOTES r2)."""
+    from goctr_tpu.ops.pallas.row_gather import gather_rows_packed
+
+    v, n, d = _arg("v", 10_000_000), _arg("n", 540_672), _arg("d", 64)
+    n = -(-n // 2048) * 2048
+    # row v holds value v·1e-6 in every lane: a wrong-row gather shows up
+    # in the checksum (zeros would hide it)
+    table = jax.lax.broadcasted_iota(jnp.float32, (v, 128), 0) * 1e-6
+    ids = jax.random.randint(jax.random.key(1), (reps, n), 0, v, jnp.int32)
+    nbytes = n * 128 * 4.0                  # full packed-row read
+
+    def xla_slice(tab, i):
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(0,),
+            start_index_map=(0,))
+        return jax.lax.gather(
+            tab, i[:, None], dn, slice_sizes=(1, d),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+    print(f"row gather  V={v} n={n} D={d}  ({reps} varied id sets, one "
+          f"dispatch)")
+    _timed_scan(xla_slice, (ids,), f"xla gather (1,{d}) slice",
+                nbytes * d / 128.0, reps, consts=(table,))
+    _timed_scan(lambda tab, i: jnp.take(tab, i, axis=0), (ids,),
+                "jnp.take full rows", nbytes, reps, consts=(table,))
+    _timed_scan(lambda tab, i: gather_rows_packed(tab, i), (ids,),
+                "pallas ring-DMA", nbytes, reps, consts=(table,))
 
 
 def main():
@@ -222,7 +259,8 @@ def main():
         if which.startswith("--"):
             continue
         fn = {"din": bench_din, "gather": bench_gather,
-              "scatter": bench_scatter, "fused": bench_fused}.get(which)
+              "scatter": bench_scatter, "fused": bench_fused,
+              "rowgather": bench_rowgather}.get(which)
         if fn is None:
             raise SystemExit(f"unknown bench {which!r}")
         try:
