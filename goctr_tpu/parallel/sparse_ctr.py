@@ -21,7 +21,7 @@ from jax.sharding import Mesh
 from goctr_tpu.models.base import dropout as _dropout, init_linear
 from goctr_tpu.ops.activations import ACTIVATIONS, cosine_similarity
 from goctr_tpu.parallel.embedding import (
-    EmbeddingSpec, init_table, sharded_lookup,
+    EmbeddingSpec, init_table, sharded_lookup, sharded_pooled_lookup,
 )
 
 
@@ -51,6 +51,17 @@ class SparseCTR:
     # meshes (see parallel/embedding.py sharded_lookup): cap on per-data-
     # shard unique ids; choose from measured batch uniqueness
     lookup_dedup_cap: int = 0
+    # behavior-sequence pooling: "din_attention" (cosine-gated, din.go
+    # semantics) or "mean" — the YouTube-DNN watch-history average
+    # (dnn.go:182-203) at embedding scale. Mean pooling on sharded meshes
+    # routes through sharded_pooled_lookup: pooling happens INSIDE the
+    # lookup exchange, so the psum moves [B/d, D] instead of [B/d, T, D] —
+    # a T× ICI traffic cut DIN's data-dependent gate cannot use.
+    pooling: str = "din_attention"
+
+    def __post_init__(self):
+        if self.pooling not in ("din_attention", "mean"):
+            raise ValueError(f"unknown pooling {self.pooling!r}")
 
     @property
     def spec(self) -> EmbeddingSpec:
@@ -86,16 +97,29 @@ class SparseCTR:
         behaviors = behaviors.astype(cd)
         item = item.astype(cd)
 
-        # DIN-style gated attention pool (din.go:231-298 semantics)
-        weight = (cosine_similarity(behaviors, item[:, None, :]) + 1.0) * 0.5
-        gate = jax.nn.sigmoid(weight * params["att0"].astype(cd))
-        gated = behaviors * (gate * mask.astype(cd))[..., None]
         denom = jnp.maximum(jnp.sum(mask.astype(cd), axis=1, keepdims=True),
                             1.0)
-        pooled = jnp.sum(gated, axis=1) / denom
+        if self.pooling == "mean":
+            # YouTube-DNN watch-history average (dnn.go:182-203)
+            pooled = jnp.sum(behaviors * mask.astype(cd)[..., None],
+                             axis=1) / denom
+        else:
+            # DIN-style gated attention pool (din.go:231-298 semantics)
+            weight = (cosine_similarity(behaviors, item[:, None, :])
+                      + 1.0) * 0.5
+            gate = jax.nn.sigmoid(weight * params["att0"].astype(cd))
+            gated = behaviors * (gate * mask.astype(cd))[..., None]
+            pooled = jnp.sum(gated, axis=1) / denom
+        return self._tower(params, profile, pooled, item, ctx,
+                           train=train, key=key)
 
-        h = jnp.concatenate([profile.astype(cd), pooled, item,
-                             ctx.astype(cd)], axis=1)
+    def _tower(self, params: dict, profile, pooled, item, ctx, *,
+               train: bool = False,
+               key: Optional[jax.Array] = None) -> jax.Array:
+        """Dense MLP over [profile | pooled behaviors | item | ctx]."""
+        cd = self.compute_dtype
+        h = jnp.concatenate([profile.astype(cd), pooled.astype(cd),
+                             item.astype(cd), ctx.astype(cd)], axis=1)
         act = ACTIVATIONS[self.activation]
         n_layers = len(params["mlp"])
         if key is not None:
@@ -113,11 +137,20 @@ class SparseCTR:
     def apply(self, params: dict, batch: SparseBatch, mesh: Mesh, *,
               train: bool = False,
               key: Optional[jax.Array] = None) -> jax.Array:
-        # sharded gathers: behaviors [B, T, D], item [B, D]
-        behaviors = sharded_lookup(params["item_table"], batch.behavior_ids,
-                                   mesh, dedup_cap=self.lookup_dedup_cap)
         item = sharded_lookup(params["item_table"], batch.item_ids, mesh,
                               dedup_cap=self.lookup_dedup_cap)
+        if self.pooling == "mean":
+            # fused gather+pool: the [B, T, D] behavior block never leaves
+            # the lookup exchange (T× ICI cut on sharded meshes; the Pallas
+            # fused gather+pool kernel on a single device where shapes fit)
+            pooled = sharded_pooled_lookup(
+                params["item_table"], batch.behavior_ids, mesh,
+                combiner="mean")
+            return self._tower(params, batch.user_profile, pooled, item,
+                               batch.ctx, train=train, key=key)
+        # DIN attention needs the per-position rows: full sharded gather
+        behaviors = sharded_lookup(params["item_table"], batch.behavior_ids,
+                                   mesh, dedup_cap=self.lookup_dedup_cap)
         mask = (batch.behavior_ids >= 0).astype(jnp.float32)
         return self.apply_pooled(params, batch.user_profile, behaviors, item,
                                  batch.ctx, mask, train=train, key=key)

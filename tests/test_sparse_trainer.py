@@ -211,6 +211,27 @@ def test_dedup_cap_overflow_detected(mesh):
                                rtol=1e-6)
 
 
+def test_sparse_ydnn_mean_pooling_learns(mesh):
+    """pooling='mean' — the YouTube-DNN watch-history average at embedding
+    scale (dnn.go:182-203), routed through sharded_pooled_lookup (the fused
+    gather+pool exchange) — must learn the planted signal end-to-end with
+    sparse row-wise table updates."""
+    from goctr_tpu.parallel.table_opt import TableOptConfig
+
+    vocab = 200
+    train = _planted(8000, vocab, seed=0)
+    test = _planted(1000, vocab, seed=1)
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(64, 32),
+                      pooling="mean")
+    cfg = TrainerConfig(batch_size=1024, epochs=10, early_stop=0, lr=1e-2,
+                        l2=0.0)
+    ranker = train_sparse(model, train, mesh, cfg,
+                          table_opt=TableOptConfig(kind="adagrad", lr=0.1))
+    auc = roc_auc_score(test.labels, ranker.predict(test))
+    assert auc > 0.8, auc
+
+
 def test_sparse_predict_ragged(mesh):
     vocab = 500
     model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
