@@ -38,24 +38,23 @@ def scatter_add_dedup(table: jax.Array, ids: jax.Array,
     """table[ids] += rows with duplicate ids pre-summed on device.
 
     ids [N] (negatives dropped), rows [N, D] → new table [V, D]. Exactly
-    equivalent to `.at[ids].add(rows)` up to float summation order; the
-    sort + segment-sum turns the scatter collision-free so XLA emits the
-    fast path.
+    equivalent to `.at[ids].add(rows)` up to float summation order. The
+    duplicate summing is SCATTER-FREE (ops/segsum.py sorted-run sums —
+    jax.ops.segment_sum would itself lower to a serial XLA scatter,
+    BENCH_NOTES r3), so only ONE scatter remains: run-end positions carry
+    the full run sum, every other position carries exact zeros aimed at
+    row 0 (a no-op add; tables here have no junk rows to absorb them, and
+    out-of-range-drop scatters mixed with unique promises are the
+    combination that faulted the TPU worker at scale — BENCH_NOTES r2).
     """
+    from goctr_tpu.ops.segsum import segment_rows_dedup
+
     n = ids.shape[0]
     v = table.shape[0]
-    order = jnp.argsort(ids)
-    s_ids = jnp.take(ids, order)              # negatives sort first → dropped
-    s_rows = jnp.take(rows, order, axis=0)
-    new = jnp.concatenate([jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
-    seg = jnp.cumsum(new) - 1
-    summed = jax.ops.segment_sum(s_rows, seg, num_segments=n,
-                                 indices_are_sorted=True)
-    # unused slots get DISTINCT ascending out-of-range sentinels so the
-    # sorted+unique promises stay strictly true; FILL_OR_DROP drops them
-    sentinel = v + 1 + jnp.arange(n, dtype=jnp.int32)
-    uniq = sentinel.at[seg].set(s_ids, mode="drop")
-    return scatter_add_rows(table, uniq, summed, sorted_ids=True, unique=True)
+    n_to = -(-n // 1024) * 1024
+    tgt, summed = segment_rows_dedup(ids, rows, v, pad_to=n_to)
+    safe = jnp.where(tgt < v, tgt, 0)         # junk/pad slots: zero rows
+    return table.at[safe].add(summed)
 
 
 def dedup_sum_rows(ids: jax.Array, rows: jax.Array, vocab: int):

@@ -501,27 +501,35 @@ def load_scanned_checkpoint(path) -> TrainedScanned:
 def model_bytes_per_example(model: SparseCTR, T: int,
                             update_mode: str = "dedup") -> float:
     """Analytic HBM bytes per example for the scanned trainer (f32 table):
-    embedding gather (T+1 rows), scatter read-modify-write of the same rows,
-    adagrad accumulator traffic, the dataset-row gather, and (for
-    sorted/dedup modes) the sort permutation of ids+rows. CTR training on a
-    TensorCore-only chip is gather/scatter-bound, so HBM utilization — not
-    MFU — is the speed-of-light yardstick for this workload."""
+    embedding gather (T+1 rows), table-update read-modify-write of the same
+    rows, adagrad accumulator traffic, the dataset-row gather, and — for
+    sorted/dedup/fused modes — the dedup pipeline's own streams (id sort,
+    row permute, blockwise cumsum, boundary gather, grad packing;
+    ops/segsum.py). CTR training on a TensorCore-only chip is
+    gather/scatter-bound, so HBM utilization — not MFU — is the
+    speed-of-light yardstick for this workload."""
     D = model.emb_dim
     row = D * 4.0
-    if update_mode == "fused":
-        row = 128.0 * 4.0                   # packed 128-lane rows (w|acc|pad)
+    packed = 128.0 * 4.0                    # packed 128-lane rows (w|acc|pad)
     rows = T + 1.0
-    gather = rows * row
-    scatter = 2.0 * rows * row              # read-modify-write
+    gather = rows * (packed if update_mode == "fused" else row)
+    scatter = 2.0 * rows * (packed if update_mode == "fused" else row)
     # gather + rmw of [V] accumulator (in-row for fused mode)
     acc = 0.0 if update_mode == "fused" else rows * 4.0 * 3.0
     dataset = (model.u_profile_dim + model.ctx_dim + 2) * 4.0 + T * 4.0
-    sort = 0.0
-    if update_mode in ("sorted", "dedup", "fused"):
-        # permute ids (4B×2) + rows (D×4×2), plus segment-sum write
-        sort = rows * (8.0 + 2.0 * D * 4.0) + (rows * D * 4.0 if update_mode
-                                               in ("dedup", "fused") else 0.0)
-    return gather + scatter + acc + dataset + sort
+    pipeline = 0.0
+    if update_mode == "sorted":
+        # permute ids (4B×2) + rows (D×4×2)
+        pipeline = rows * (8.0 + 2.0 * row)
+    elif update_mode in ("dedup", "fused"):
+        # ops/segsum.py per update row: id sort (2×4B), row permute
+        # (2×row), in-block cumsum (2×row), exclusive/boundary gather
+        # (2×row), masked rows out (row); fused adds pack_grads ([n, 128]
+        # write + kernel read = 2×packed)
+        pipeline = rows * (8.0 + 7.0 * row)
+        if update_mode == "fused":
+            pipeline += rows * 2.0 * packed
+    return gather + scatter + acc + dataset + pipeline
 
 
 def model_flops_per_example(model: SparseCTR, T: int) -> float:
