@@ -144,7 +144,7 @@ def main() -> None:
         model, sample, cfg,
         TableOptConfig(kind="adagrad", lr=0.1, update_mode=mode,
                        sorted_gather=sorted_gather,
-                       gather_impl=_arg("gather", "xla")))
+                       gather_impl=_arg("gather", "take")))
 
     # first epoch includes jit compile; steady state = epochs 2..n
     steady = ranker.epoch_times[1:]

@@ -325,18 +325,22 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
             b_y = jnp.take(y, idx)
             b_w = jnp.take(w, idx)
 
-            # fused mode gathers only the weight lanes of the packed rows —
-            # explicit slice_sizes=(1, D) so neither the gather traffic nor
-            # the materialized batch ever includes the acc/pad lanes
-            # (take()[..., :D] materialized [bs, T, 128] f32 first:
-            # measured RESOURCE_EXHAUSTED at bench scale).
-            # gather_impl="pallas" swaps in the pipelined ring-DMA row
-            # gather (ops/pallas/row_gather.py) — full packed rows land in
-            # VMEM blocks with RING reads in flight; the :D lane slice
-            # fuses into the consumer.
+            # fused mode gathers packed 128-lane rows and lane-slices the
+            # D weight lanes. Measured at V=10M, n=540k (BENCH_NOTES r3):
+            #   take  — jnp.take full packed rows, 29.5 GB/s (default)
+            #   pallas — ring-DMA row gather (ops/pallas/row_gather.py),
+            #            13.5 GB/s (scalar-core DMA-issue bound)
+            #   xla   — lax.gather with (1, D) slices from the [V, 128]
+            #           operand: 0.2 GB/s (partial-row slices defeat the
+            #           fast row-gather path) — kept only as the A/B record
+            # take/pallas both materialize [n, 128] before the :D slice —
+            # identical memory; r2's OOM fear about take was really the
+            # scan-carry double-buffer, fixed by donation.
             def rows_of(ids):
                 if not fused:
                     return jnp.take(table, ids, axis=0).astype(cd)
+                if topt.gather_impl == "take":
+                    return jnp.take(table, ids, axis=0)[..., :D].astype(cd)
                 if topt.gather_impl == "pallas":
                     from goctr_tpu.ops.pallas.row_gather import (
                         ROWS_PER_STEP as GR, gather_rows_packed)

@@ -41,8 +41,10 @@ class TableOptConfig:
     # inverse take) instead of raw order — A/B knob for the HBM-random-read
     # bound of the forward gather
     sorted_gather: bool = False
-    # forward-gather implementation for the fused (packed-table) mode:
-    # "xla" = lax.gather with (1, D) slices; "pallas" = the pipelined
-    # ring-DMA row gather (ops/pallas/row_gather.py) — A/B via bench.py
-    # --gather=pallas, decided by measured epoch wall-clock
-    gather_impl: str = "xla"    # xla | pallas
+    # forward-gather implementation for the fused (packed-table) mode
+    # (A/B via bench.py --gather=..., measured at V=10M in BENCH_NOTES r3):
+    # "take" = jnp.take of full packed rows + lane slice (29.5 GB/s);
+    # "pallas" = pipelined ring-DMA row gather, ops/pallas/row_gather.py
+    # (13.5 GB/s); "xla" = lax.gather with (1, D) partial-row slices
+    # (0.2 GB/s — defeats XLA's fast row-gather path; kept as A/B record)
+    gather_impl: str = "take"   # take | pallas | xla
