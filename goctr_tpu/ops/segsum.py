@@ -106,6 +106,14 @@ def segment_rows_dedup(ids: jax.Array, rows: jax.Array, vocab: int,
 
     sort → run sums, no scatter. If pad_to > n, inputs are first padded
     with -1 ids / zero rows (e.g. to the Pallas grid multiple).
+
+    Junk-row budget: every pad maps to the SINGLE shared id `vocab` (their
+    zeroed rows sort into one run whose sum is exactly zero — one no-op
+    write), and non-final run positions map to vocab + 1 + sorted_pos, so
+    callers only allocate n + 2 junk rows past the vocab
+    (parallel/scanned.py table_pad_rows) — at bench scale the previous
+    distinct-id-per-pad scheme cost 2n + 2 junk rows = an extra 554 MB of
+    packed table, part of the r3 full-scale RESOURCE_EXHAUSTED budget.
     """
     n = ids.shape[0]
     if pad_to > n:
@@ -114,12 +122,11 @@ def segment_rows_dedup(ids: jax.Array, rows: jax.Array, vocab: int,
         rows = jnp.concatenate(
             [rows, jnp.zeros((pad_to - n, rows.shape[1]), rows.dtype)])
         n = pad_to
-    pos = jnp.arange(n, dtype=jnp.int32)
     valid = ids >= 0
     rows = rows * valid[:, None].astype(rows.dtype)
-    # pads → distinct ids past the vocab (their zero rows are no-ops)
-    ids_clean = jnp.where(valid, ids, vocab + 1 + pos)
+    # pads → the shared junk id `vocab` (zero rows; one run, one no-op write)
+    ids_clean = jnp.where(valid, ids, vocab)
     order = jnp.argsort(ids_clean)
     s_ids = jnp.take(ids_clean, order)
     s_rows = jnp.take(rows, order, axis=0)
-    return sorted_run_sums(s_ids, s_rows, junk_base=vocab + 1 + n)
+    return sorted_run_sums(s_ids, s_rows, junk_base=vocab + 1)

@@ -108,13 +108,15 @@ _SCAT_DNUMS = jax.lax.ScatterDimensionNumbers(
 
 
 def table_pad_rows(batch_size: int, behavior_len: int) -> int:
-    """Junk pad rows the dedup/fused updates need beyond the vocab:
-    distinct in-range targets for -1 behavior pads (n) + empty dedup slots
-    (n) + 2, with n rounded up to the fused kernel's grid multiple."""
+    """Junk pad rows the dedup/fused updates need beyond the vocab: one
+    shared row for all -1 behavior pads (they dedup into a single zero-sum
+    run, ops/segsum.py) + distinct in-range targets for non-final run
+    positions (n) + margin, with n rounded up to the fused kernel's grid
+    multiple."""
     from goctr_tpu.ops.pallas.row_optimizer import ROWS_PER_STEP
     n = batch_size * (behavior_len + 1)
     n = -(-n // ROWS_PER_STEP) * ROWS_PER_STEP
-    return 2 * n + 2
+    return n + 2
 
 
 def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,

@@ -49,7 +49,7 @@ def test_segment_rows_dedup_matches_segment_sum(seed, dups):
 
     tgt, summed = segment_rows_dedup(jnp.asarray(ids), jnp.asarray(rows),
                                      vocab)
-    got = _dense_apply(vocab + 2 * n + 2, d, tgt, summed)[:vocab]
+    got = _dense_apply(vocab + n + 2, d, tgt, summed)[:vocab]
 
     want = np.zeros((vocab, d), np.float32)
     np.add.at(want, ids[ids >= 0], rows[ids >= 0])
@@ -64,7 +64,7 @@ def test_segment_rows_dedup_pad_to():
     tgt, summed = segment_rows_dedup(jnp.asarray(ids), jnp.asarray(rows),
                                      vocab, pad_to=2048)
     assert tgt.shape == (2048,)
-    got = _dense_apply(vocab + 2 * 2048 + 2, d, tgt, summed)[:vocab]
+    got = _dense_apply(vocab + 2048 + 2, d, tgt, summed)[:vocab]
     want = np.zeros((vocab, d), np.float32)
     np.add.at(want, ids, rows)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
