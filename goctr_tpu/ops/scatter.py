@@ -57,18 +57,3 @@ def scatter_add_dedup(table: jax.Array, ids: jax.Array,
     return table.at[safe].add(summed)
 
 
-def dedup_sum_rows(ids: jax.Array, rows: jax.Array, vocab: int):
-    """(uniq_ids [N] sorted with out-of-range sentinels, summed_rows [N, D]):
-    the dedup half of scatter_add_dedup, for callers that transform the
-    summed row update before writing (e.g. adagrad row scaling)."""
-    n = ids.shape[0]
-    order = jnp.argsort(ids)
-    s_ids = jnp.take(ids, order)
-    s_rows = jnp.take(rows, order, axis=0)
-    new = jnp.concatenate([jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
-    seg = jnp.cumsum(new) - 1
-    summed = jax.ops.segment_sum(s_rows, seg, num_segments=n,
-                                 indices_are_sorted=True)
-    sentinel = vocab + 1 + jnp.arange(n, dtype=jnp.int32)
-    uniq = sentinel.at[seg].set(s_ids, mode="drop")
-    return uniq, summed

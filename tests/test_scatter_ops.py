@@ -3,9 +3,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from goctr_tpu.ops.scatter import (
-    dedup_sum_rows, scatter_add_dedup, scatter_add_rows,
-)
+from goctr_tpu.ops.scatter import scatter_add_dedup, scatter_add_rows
 
 
 def test_scatter_add_dedup_matches_at_add(rng):
@@ -31,15 +29,3 @@ def test_scatter_add_rows_drops_out_of_range(rng):
     got = np.asarray(scatter_add_rows(table, ids, rows))
     assert got[3, 0] == 2.0 and got[5, 0] == 1.0
     assert got.sum() == 3 * 4
-
-
-def test_dedup_sum_rows_sentinels_unique_and_sorted(rng):
-    ids = jnp.asarray([7, 2, 7, 7, 2, -1], jnp.int32)
-    rows = jnp.ones((6, 3), jnp.float32)
-    uniq, summed = dedup_sum_rows(ids, rows, vocab=10)
-    u = np.asarray(uniq)
-    assert list(u[:3]) == [-1, 2, 7]
-    assert np.all(np.diff(u) > 0)            # strictly ascending → unique
-    assert np.all(u[3:] > 10)                # out-of-range sentinels
-    np.testing.assert_allclose(np.asarray(summed)[1], [2, 2, 2])
-    np.testing.assert_allclose(np.asarray(summed)[2], [3, 3, 3])
