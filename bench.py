@@ -140,9 +140,14 @@ def main() -> None:
     eval_uids = uids_full[n:n + n_eval]
     cfg = TrainerConfig(batch_size=bs, epochs=epochs, early_stop=0,
                         lr=1e-3, shuffle=True, seed=0)
+    # table lr: with init sigma=0.01 rows, adagrad's first step per row has
+    # norm = lr; 0.1 left the flagship at ln 2 for 4 epochs (r2/r3 runs),
+    # lr=2.0 reaches eval AUC 0.96 on the mid-scale CPU ablation
+    # (BENCH_NOTES r3) — the signal was always learnable, the step was small
     ranker = train_sparse_scanned(
         model, sample, cfg,
-        TableOptConfig(kind="adagrad", lr=0.1, update_mode=mode,
+        TableOptConfig(kind="adagrad", lr=float(_arg("tlr", "2.0")),
+                       update_mode=mode,
                        sorted_gather=sorted_gather,
                        gather_impl=_arg("gather", "take")))
 

@@ -50,11 +50,21 @@ RING = 8                  # outstanding read/write DMA pairs
 
 def _kernel(ids_ref, lr_ref, g_ref, tin_ref, tout_ref,
             rbuf, wbuf, r_sems, w_sems, *, d: int, kind: str, eps: float,
-            n_rows: int):
+            n_rows: int, skip_ge: int | None):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     m_w = (lane < d).astype(jnp.float32)          # weight lanes
     m_acc = (lane == d).astype(jnp.float32)       # accumulator lane
     lr = lr_ref[0, 0]
+
+    def is_real(j):
+        # junk rows (dedup non-end positions + the shared pad row) carry
+        # exact-zero updates — their RMW is the identity, so their DMA pair
+        # is skipped entirely: at bench-scale zipf traffic 68.5% of
+        # positions are junk (BENCH_NOTES r3) and the kernel is
+        # scalar-core DMA-issue bound, so skipping is ~2x.
+        if skip_ge is None:
+            return True
+        return ids_ref[j] < skip_ge
 
     def read_dma(j):
         slot = j % RING
@@ -69,47 +79,69 @@ def _kernel(ids_ref, lr_ref, g_ref, tin_ref, tout_ref,
             wbuf.at[slot], tout_ref.at[pl.ds(row, 1)], w_sems.at[slot])
 
     def warm(t, carry):
-        read_dma(t).start()
+        @pl.when(is_real(t))
+        def _():
+            read_dma(t).start()
         return carry
 
     jax.lax.fori_loop(0, min(RING, n_rows), warm, 0)
 
-    def body(j, carry):
+    # `outstanding`: bitmask of wbuf slots with an in-flight write DMA.
+    # With skips, "the previous j on this slot" may not have issued a
+    # write, so slot-reuse waits key off this mask, not off j - RING.
+    # (Wait descriptors only encode shape + semaphore — every copy here is
+    # one (1, 128) row — so waiting with row j's descriptor correctly
+    # drains whichever earlier copy signalled w_sems[slot].)
+    def body(j, outstanding):
         slot = j % RING
+        bit = jax.lax.shift_left(jnp.int32(1), slot)
+        real = is_real(j)
 
-        @pl.when(j >= RING)
+        @pl.when(real & ((outstanding & bit) != 0))
         def _wait_prev_write():
-            write_dma(j - RING).wait()    # wbuf[slot] free for reuse
+            write_dma(j).wait()           # frees wbuf[slot] for reuse
 
-        read_dma(j).wait()
-        r = rbuf[slot]                            # (1, 128): w | acc | pad
-        gp = g_ref[pl.ds(j, 1), :]                # (1, 128): g | ‖g‖² | 0
-        if kind == "adagrad":
-            r_acc = r + gp * m_acc                # acc' in lane D
-            acc = jnp.sum(r_acc * m_acc, axis=1, keepdims=True)
-            scale = lr * jax.lax.rsqrt(acc + eps)
-            wbuf[slot] = r_acc - scale * (gp * m_w)
-        else:                                     # sgd
-            wbuf[slot] = r - lr * (gp * m_w)
-        write_dma(j).start()
+        @pl.when(real)
+        def _compute():
+            read_dma(j).wait()
+            r = rbuf[slot]                        # (1, 128): w | acc | pad
+            gp = g_ref[pl.ds(j, 1), :]            # (1, 128): g | ‖g‖² | 0
+            if kind == "adagrad":
+                r_acc = r + gp * m_acc            # acc' in lane D
+                acc = jnp.sum(r_acc * m_acc, axis=1, keepdims=True)
+                scale = lr * jax.lax.rsqrt(acc + eps)
+                wbuf[slot] = r_acc - scale * (gp * m_w)
+            else:                                 # sgd
+                wbuf[slot] = r - lr * (gp * m_w)
+            write_dma(j).start()
 
-        @pl.when(j + RING < n_rows)
+        @pl.when((j + RING < n_rows) & is_real(j + RING))
         def _start_next_read():
+            # rbuf[slot] was consumed above (or is idle if j was junk)
             read_dma(j + RING).start()
+
+        return jnp.where(real, outstanding | bit, outstanding)
+
+    outstanding = jax.lax.fori_loop(0, n_rows, body, jnp.int32(0))
+
+    # drain: every slot with an in-flight write must land before the
+    # kernel (and program) completes
+    def drain(slot, carry):
+        bit = jax.lax.shift_left(jnp.int32(1), slot)
+
+        @pl.when((carry & bit) != 0)
+        def _():
+            pltpu.make_async_copy(
+                wbuf.at[slot], tout_ref.at[pl.ds(ids_ref[0], 1)],
+                w_sems.at[slot]).wait()
         return carry
 
-    jax.lax.fori_loop(0, n_rows, body, 0)
-
-    # drain: all writes must land before the kernel (and program) completes
-    def drain(t, carry):
-        write_dma(jnp.maximum(n_rows - RING, 0) + t).wait()
-        return carry
-
-    jax.lax.fori_loop(0, min(RING, n_rows), drain, 0)
+    jax.lax.fori_loop(0, min(RING, n_rows), drain, outstanding)
 
 
 def apply_row_updates(table_packed, ids, g_packed, lr, d: int,
                       kind: str = "adagrad", eps: float = 1e-8,
+                      skip_ge: int | None = None,
                       interpret: bool = False) -> jax.Array:
     """In-place fused row optimizer.
 
@@ -118,6 +150,11 @@ def apply_row_updates(table_packed, ids, g_packed, lr, d: int,
     job, parallel/scanned.py), g_packed [n, 128] f32 (g | ‖g‖² | 0), `d`
     the weight width (< 128). Returns the updated table (the input buffer
     is aliased in place).
+
+    skip_ge: rows with ids[j] >= skip_ge are skipped entirely (no DMA
+    pair). Correct whenever those rows carry exact-zero g (their RMW is
+    the identity) — true for the dedup pipeline's junk targets, which are
+    all >= the real vocab (ops/segsum.py).
 
     On non-TPU backends routes to the identical-math jnp fallback unless
     interpret=True forces the emulated Pallas path (kernel unit tests).
@@ -133,7 +170,8 @@ def apply_row_updates(table_packed, ids, g_packed, lr, d: int,
         raise ValueError(f"n={n} must be a multiple of {r}")
     grid = (n // r,)
     return pl.pallas_call(
-        functools.partial(_kernel, d=d, kind=kind, eps=eps, n_rows=r),
+        functools.partial(_kernel, d=d, kind=kind, eps=eps, n_rows=r,
+                          skip_ge=skip_ge),
         grid=grid,
         in_specs=[
             pl.BlockSpec((r,), lambda i: (i,), memory_space=pltpu.SMEM),

@@ -189,7 +189,8 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
             apply_row_updates, pack_grads)
         table = apply_row_updates(table, tgt, pack_grads(rows),
                                   lr=topt.lr, d=rows.shape[1],
-                                  kind=topt.kind, eps=topt.eps)
+                                  kind=topt.kind, eps=topt.eps,
+                                  skip_ge=V)
         return table, acc
 
     in_bounds = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS

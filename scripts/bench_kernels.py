@@ -169,8 +169,10 @@ def bench_fused(reps: int = 8):
         ROWS_PER_STEP, apply_row_updates, pack_grads)
 
     v, n, d = _arg("v", 10_000_000), _arg("n", 540_672), _arg("d", 64)
+    junkpct = _arg("junkpct", 0)     # % of rows targeting junk ids >= v
     n = -(-n // ROWS_PER_STEP) * ROWS_PER_STEP
-    table = jnp.zeros((v, 128), jnp.float32)        # packed (w | acc | pad)
+    v_alloc = v + (n + 2 if junkpct else 0)
+    table = jnp.zeros((v_alloc, 128), jnp.float32)  # packed (w | acc | pad)
     # pairwise-distinct in-bounds ids per rep (kernel contract): strided
     # walk with a stride coprime to V, distinct phase per rep
     import math
@@ -183,10 +185,19 @@ def bench_fused(reps: int = 8):
             "the strided walk repeats ids and races the kernel's "
             "overlapping row DMAs (pairwise-distinct contract)")
     base = (np.arange(n, dtype=np.int64) * stride) % v
-    ids = jnp.asarray(
-        ((base[None, :] + np.arange(reps, dtype=np.int64)[:, None] * 101)
-         % v).astype(np.int32))
-    g = pack_grads(jax.random.normal(jax.random.key(2), (n, d), jnp.float32))
+    ids = ((base[None, :] + np.arange(reps, dtype=np.int64)[:, None] * 101)
+           % v).astype(np.int32)
+    g = jax.random.normal(jax.random.key(2), (n, d), jnp.float32)
+    if junkpct:
+        # interleave junk targets (>= v, zero g) at the bench-scale dedup
+        # ratio — measures the skip_ge DMA-skip win kernel-only
+        is_junk = np.random.default_rng(3).random(n) < junkpct / 100.0
+        ids = np.where(is_junk[None, :],
+                       v + 1 + np.arange(n, dtype=np.int64)[None, :],
+                       ids).astype(np.int32)
+        g = g * jnp.asarray(~is_junk, jnp.float32)[:, None]
+    ids = jnp.asarray(ids)
+    g = pack_grads(g)
     nbytes = n * 128 * 4.0 * 2.0                     # packed-row RMW
 
     import functools
@@ -196,11 +207,14 @@ def bench_fused(reps: int = 8):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run(tab, g, ids):                 # g explicit: closure => HTTP 413
         return jax.lax.scan(
-            lambda t, i: (apply_row_updates(t, i, g, lr=0.1, d=d), None),
+            lambda t, i: (apply_row_updates(
+                t, i, g, lr=0.1, d=d,
+                skip_ge=v if junkpct else None), None),
             tab, ids)[0]
 
-    print(f"fused row-optimizer  V={v} n={n} D={d}  ({reps} varied id sets, "
-          f"one dispatch; packed table carried through the scan)")
+    print(f"fused row-optimizer  V={v} n={n} D={d} junk={junkpct}%  "
+          f"({reps} varied id sets, one dispatch; packed table carried "
+          f"through the scan)")
     out = run(table, g, ids)
     # block_until_ready on a DONATED output through the relay reports
     # impossible times (r3: 0.024 ms/call "22 TB/s"); force a host checksum

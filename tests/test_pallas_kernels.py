@@ -142,6 +142,36 @@ def test_row_optimizer_kernel_interpret_matches_jnp(rng):
                                       np.asarray(packed)[mask])
 
 
+def test_row_optimizer_kernel_skip_ge_matches_full(rng):
+    """skip_ge: junk-target rows (id >= vocab, zero g) are skipped at the
+    DMA level; result must be bit-identical to the unskipped kernel. Junk
+    rows are interleaved throughout (the dedup pipeline's real layout:
+    non-end positions scattered among run ends, ops/segsum.py)."""
+    from goctr_tpu.ops.pallas.row_optimizer import (
+        ROWS_PER_STEP, apply_row_updates, pack_grads, pack_table)
+
+    d, n = 8, 2 * ROWS_PER_STEP
+    vocab = n                           # real rows live in [0, vocab)
+    v_alloc = vocab + n + 2             # + junk region (table_pad_rows)
+    w = rng.normal(0, 1, (v_alloc, d)).astype(np.float32)
+    packed = pack_table(jnp.asarray(w))
+    # ~70% junk (the bench-scale zipf ratio): junk targets distinct,
+    # >= vocab, zero g; real targets distinct, < vocab, random g
+    is_junk = rng.random(n) < 0.7
+    pos = np.arange(n, dtype=np.int32)
+    real_ids = rng.permutation(vocab)[:n].astype(np.int32)
+    ids = np.where(is_junk, vocab + 1 + pos, real_ids).astype(np.int32)
+    g = rng.normal(0, 0.5, (n, d)).astype(np.float32)
+    g[is_junk] = 0.0
+    gp = pack_grads(jnp.asarray(g))
+    for kind in ("adagrad", "sgd"):
+        got = apply_row_updates(packed, jnp.asarray(ids), gp, lr=0.25, d=d,
+                                kind=kind, skip_ge=vocab, interpret=True)
+        want = apply_row_updates(packed, jnp.asarray(ids), gp, lr=0.25,
+                                 d=d, kind=kind, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_row_gather_kernel_interpret_matches_take(rng):
     from goctr_tpu.ops.pallas.row_gather import gather_rows_packed
 
