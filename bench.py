@@ -156,7 +156,14 @@ def main() -> None:
     examples_per_s = len(steady) * n / sum(steady)
     flops_ex = model_flops_per_example(model, t)
     mfu_pct = 100.0 * examples_per_s * flops_ex / V5E_BF16_PEAK_FLOPS
-    bytes_ex = model_bytes_per_example(model, t, mode)
+    real_frac = 1.0
+    if mode == "fused":
+        # measured unique-target fraction of one batch — the skip_ge DMA
+        # skip means only these rows move RMW bytes
+        b0 = np.concatenate([sample.behavior_ids[:bs].ravel(),
+                             sample.item_ids[:bs]])
+        real_frac = len(np.unique(b0[b0 >= 0])) / max(len(b0), 1)
+    bytes_ex = model_bytes_per_example(model, t, mode, real_frac=real_frac)
     hbm_util_pct = 100.0 * examples_per_s * bytes_ex / V5E_HBM_BYTES_PER_S
 
     extra = {}

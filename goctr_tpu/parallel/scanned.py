@@ -506,7 +506,8 @@ def load_scanned_checkpoint(path) -> TrainedScanned:
 
 
 def model_bytes_per_example(model: SparseCTR, T: int,
-                            update_mode: str = "dedup") -> float:
+                            update_mode: str = "dedup",
+                            real_frac: float = 1.0) -> float:
     """Analytic HBM bytes per example for the scanned trainer (f32 table):
     embedding gather (T+1 rows), table-update read-modify-write of the same
     rows, adagrad accumulator traffic, the dataset-row gather, and — for
@@ -521,6 +522,11 @@ def model_bytes_per_example(model: SparseCTR, T: int,
     rows = T + 1.0
     gather = rows * (packed if update_mode == "fused" else row)
     scatter = 2.0 * rows * (packed if update_mode == "fused" else row)
+    if update_mode == "fused":
+        # skip_ge: only real (unique-id) targets move an RMW pair; junk
+        # rows are skipped at the DMA level. real_frac = uniques / rows
+        # (workload-dependent; bench.py measures it on a sample batch).
+        scatter *= real_frac
     # gather + rmw of [V] accumulator (in-row for fused mode)
     acc = 0.0 if update_mode == "fused" else rows * 4.0 * 3.0
     dataset = (model.u_profile_dim + model.ctx_dim + 2) * 4.0 + T * 4.0

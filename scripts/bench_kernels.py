@@ -230,6 +230,57 @@ def bench_fused(reps: int = 8):
           f"(checksum {cs:.3e})")
 
 
+def bench_segsum(reps: int = 8):
+    """Stage timings of the scatter-free dedup front-end at bench scale:
+    isolates what the fused trainer's non-kernel 'pipeline' time buys
+    (argsort, row permute, blockwise run sums, grad packing)."""
+    import numpy as np
+
+    from goctr_tpu.ops.pallas.row_optimizer import pack_grads
+    from goctr_tpu.ops.segsum import segment_rows_dedup, sorted_run_sums
+
+    v, n, d = _arg("v", 10_000_000), _arg("n", 540_672), _arg("d", 64)
+    n = -(-n // 1024) * 1024
+    # zipf-shaped duplicate-heavy ids (the bench workload's id law)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import _zipf_ranks
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(np.stack(
+        [(_zipf_ranks(rng, (n,), v // 2) * 2_654_435_761) % v
+         for _ in range(reps)]).astype(np.int32))
+    g = jax.random.normal(jax.random.key(2), (n, d), jnp.float32)
+    nbytes = n * d * 4.0
+
+    def sort_take(g, i):
+        order = jnp.argsort(i)
+        return jnp.take(g, order, axis=0)
+
+    def sort_only(g, i):
+        return jnp.sort(i)[:, None].astype(jnp.float32) * g[:1, :1]
+
+    def runsums(g, i):
+        order = jnp.argsort(i)
+        s_ids = jnp.take(i, order)
+        s_rows = jnp.take(g, order, axis=0)
+        _, rows = sorted_run_sums(s_ids, s_rows, junk_base=v + 1)
+        return rows
+
+    def full_front(g, i):
+        tgt, rows = segment_rows_dedup(i, g, v)
+        return pack_grads(rows) * 1.0 + tgt[:, None].astype(jnp.float32)
+
+    print(f"segsum front-end  V={v} n={n} D={d}  ({reps} varied id sets, "
+          f"one dispatch)")
+    _timed_scan(sort_only, (ids,), "argsort ids only", n * 4.0, reps,
+                consts=(g,))
+    _timed_scan(sort_take, (ids,), "argsort + row permute", 2 * nbytes,
+                reps, consts=(g,))
+    _timed_scan(runsums, (ids,), "+ blockwise run sums", 4 * nbytes, reps,
+                consts=(g,))
+    _timed_scan(full_front, (ids,), "full front-end + pack_grads",
+                6 * nbytes, reps, consts=(g,))
+
+
 def bench_rowgather(reps: int = 8):
     """Random-row gather from a packed [V, 128] table at bench scale:
     XLA's (1, D)-slice gather (the fused trainer's r2 forward path) vs
@@ -274,7 +325,7 @@ def main():
             continue
         fn = {"din": bench_din, "gather": bench_gather,
               "scatter": bench_scatter, "fused": bench_fused,
-              "rowgather": bench_rowgather}.get(which)
+              "rowgather": bench_rowgather, "segsum": bench_segsum}.get(which)
         if fn is None:
             raise SystemExit(f"unknown bench {which!r}")
         try:
