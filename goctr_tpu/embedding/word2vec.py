@@ -53,6 +53,11 @@ class Word2VecOptions:
     seed: int = 0
     verbose: bool = False
     table_size: int = 1 << 20
+    # overlap host window-expansion of iter i+1 with the device scan of
+    # iter i (a worker thread that also starts the h2d copy). False =
+    # fully serial host→device iterations — needed on backends where
+    # multi-threaded dispatch is unreliable (the axon relay).
+    overlap: bool = True
 
     def __post_init__(self):
         if self.min_lr is None:
@@ -114,9 +119,29 @@ class Word2Vec:
                 return None, 0
             return self._batchify(centers, ctx, rng), int(centers.size)
 
+        class _Serial:
+            """overlap=False: produce inline on the main thread."""
+
+            def submit(self, fn):
+                class R:
+                    def __init__(self):
+                        self._v = fn()
+
+                    def result(self):
+                        return self._v
+                return R()
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
         words_done = 0
         total_train_words = max(total_words * o.iters, 1)
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        pool_cm = (ThreadPoolExecutor(max_workers=1) if o.overlap
+                   else _Serial())
+        with pool_cm as pool:
             fut = pool.submit(produce)
             for it in range(o.iters):
                 te = time.perf_counter()

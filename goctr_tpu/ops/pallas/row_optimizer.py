@@ -97,12 +97,12 @@ def _kernel(ids_ref, lr_ref, g_ref, tin_ref, tout_ref,
         bit = jax.lax.shift_left(jnp.int32(1), slot)
         real = is_real(j)
 
-        @pl.when(real & ((outstanding & bit) != 0))
-        def _wait_prev_write():
-            write_dma(j).wait()           # frees wbuf[slot] for reuse
-
         @pl.when(real)
         def _compute():
+            @pl.when((outstanding & bit) != 0)
+            def _wait_prev_write():
+                write_dma(j).wait()       # frees wbuf[slot] for reuse
+
             read_dma(j).wait()
             r = rbuf[slot]                        # (1, 128): w | acc | pad
             gp = g_ref[pl.ds(j, 1), :]            # (1, 128): g | ‖g‖² | 0

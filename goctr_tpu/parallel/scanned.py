@@ -158,6 +158,31 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
                                  sorted_ids=True)
         return table, acc
 
+    if topt.update_mode == "runfused":
+        # v2: sort with duplicates and feed the sorted-run fused kernel —
+        # run summing happens IN the kernel (VMEM accumulation per run, one
+        # RMW per unique row), so the cumsum/boundary-gather/pack pipeline
+        # and the junk-row table region all disappear
+        # (ops/pallas/run_optimizer.py). Pads map to id V (sorted last,
+        # skipped by skip_ge) — the table is exactly [V, 128].
+        from goctr_tpu.ops.pallas.run_optimizer import apply_run_updates
+        n0 = ids_flat.shape[0]
+        n_to = -(-n0 // 1024) * 1024
+        ids_clean = jnp.where(ids_flat >= 0, ids_flat, V)
+        if n_to > n0:
+            ids_clean = jnp.concatenate(
+                [ids_clean, jnp.full((n_to - n0,), V, ids_clean.dtype)])
+            g_flat = jnp.concatenate(
+                [g_flat, jnp.zeros((n_to - n0, g_flat.shape[1]),
+                                   g_flat.dtype)])
+        order = jnp.argsort(ids_clean)
+        s_ids = jnp.take(ids_clean, order)
+        s_rows = jnp.take(g_flat, order, axis=0)
+        table = apply_run_updates(table, s_ids, s_rows, lr=topt.lr,
+                                  d=s_rows.shape[1], kind=topt.kind,
+                                  eps=topt.eps, skip_ge=V)
+        return table, acc
+
     if topt.update_mode not in ("dedup", "fused"):
         raise ValueError(f"unknown update_mode {topt.update_mode!r}")
 
@@ -269,11 +294,13 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
         acc = jnp.zeros((V,), jnp.float32)  # adagrad moment (unused for sgd)
 
     # dedup/fused modes scatter into distinct in-range junk rows past the
-    # vocab (see _table_update); physically extend table/acc once here
-    fused = topt.update_mode == "fused"
+    # vocab (see _table_update); physically extend table/acc once here.
+    # runfused needs NO junk rows (pads/junk are skipped pre-DMA).
+    fused = topt.update_mode in ("fused", "runfused")
     if fused and D >= 128:
-        raise ValueError("update_mode='fused' requires emb_dim < 128 "
-                         "(weights+acc pack into one 128-lane row)")
+        raise ValueError(f"update_mode={topt.update_mode!r} requires "
+                         "emb_dim < 128 (weights+acc pack into one "
+                         "128-lane row)")
     v_alloc = V + (table_pad_rows(bs, T)
                    if topt.update_mode in ("dedup", "fused") else 0)
     if table.shape[0] < v_alloc:
@@ -520,9 +547,10 @@ def model_bytes_per_example(model: SparseCTR, T: int,
     row = D * 4.0
     packed = 128.0 * 4.0                    # packed 128-lane rows (w|acc|pad)
     rows = T + 1.0
-    gather = rows * (packed if update_mode == "fused" else row)
-    scatter = 2.0 * rows * (packed if update_mode == "fused" else row)
-    if update_mode == "fused":
+    is_packed = update_mode in ("fused", "runfused")
+    gather = rows * (packed if is_packed else row)
+    scatter = 2.0 * rows * (packed if is_packed else row)
+    if is_packed:
         # skip_ge: only real (unique-id) targets move an RMW pair; junk
         # rows are skipped at the DMA level. real_frac = uniques / rows
         # (workload-dependent; bench.py measures it on a sample batch).
@@ -534,6 +562,10 @@ def model_bytes_per_example(model: SparseCTR, T: int,
     if update_mode == "sorted":
         # permute ids (4B×2) + rows (D×4×2)
         pipeline = rows * (8.0 + 2.0 * row)
+    elif update_mode == "runfused":
+        # id sort (2×4B) + row permute (2×row) + the kernel's [n, D]
+        # g-block stream (row) — run summing happens in VMEM
+        pipeline = rows * (8.0 + 3.0 * row)
     elif update_mode in ("dedup", "fused"):
         # ops/segsum.py per update row: id sort (2×4B), row permute
         # (2×row), in-block cumsum (2×row), exclusive/boundary gather

@@ -16,7 +16,13 @@ class TableOptConfig:
     """Row-wise optimizer for the embedding table.
 
     update_mode selects the scatter strategy (measured on a v5e, 10M×64
-    table, 1.08M update rows/batch — see BENCH_NOTES.md):
+    table, 540k update rows/batch — see BENCH_NOTES.md):
+      * ``runfused`` — sort ids (duplicates kept) + the sorted-run fused
+                     Pallas kernel (ops/pallas/run_optimizer.py): runs of
+                     equal ids accumulate in VMEM, one read-modify-write
+                     DMA pair per unique row, junk/pad rows skipped
+                     pre-DMA. No run-sum pipeline, no junk table rows.
+                     Requires D < 128 and vocab < 2^29.
       * ``fused``  — dedup pipeline + the Pallas fused row-optimizer kernel
                      (ops/pallas/row_optimizer.py): weights and adagrad
                      accumulator packed per 128-lane row, one pipelined

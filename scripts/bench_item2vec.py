@@ -58,7 +58,8 @@ def main() -> None:
           f"({time.perf_counter() - t0:.1f}s)", flush=True)
 
     kw = dict(dim=16, window=5, model=model, optimizer=opt,
-              batch_size=batch, min_count=1, verbose=False, seed=1)
+              batch_size=batch, min_count=1, verbose=False, seed=1,
+              overlap=_arg("overlap", "1") == "1")
     t0 = time.perf_counter()
     Word2Vec(iters=1, **kw).train(docs)      # compile warm-up (persistent cache)
     print(f"warm-up iter (incl. compile): {time.perf_counter() - t0:.1f}s",

@@ -142,6 +142,91 @@ def test_row_optimizer_kernel_interpret_matches_jnp(rng):
                                       np.asarray(packed)[mask])
 
 
+def _run_optimizer_oracle(w, acc0, s_ids, s_rows, lr, kind, eps, vocab, d):
+    """numpy oracle: sequential run accumulation + row-wise update."""
+    w = w.copy()
+    acc = acc0.copy()
+    i = 0
+    n = len(s_ids)
+    while i < n:
+        j = i
+        run = np.zeros(d, np.float32)
+        while j < n and s_ids[j] == s_ids[i]:
+            run += s_rows[j]
+            j += 1
+        idv = int(s_ids[i])
+        if idv < vocab:
+            if kind == "adagrad":
+                acc[idv] += float(run @ run)
+                w[idv] -= lr * run / np.sqrt(acc[idv] + eps)
+            else:
+                w[idv] -= lr * run
+        i = j
+    return w, acc
+
+
+@pytest.mark.parametrize("kind", ["adagrad", "sgd"])
+def test_run_optimizer_kernel_interpret_matches_oracle(rng, kind):
+    """v2 sorted-run kernel (interpret mode) vs a sequential numpy oracle:
+    heavy duplicates, pads mapped to id=vocab, runs spanning the 1024-row
+    block boundary, and runs longer than RING (exercises the repair-read
+    path: a long run holds its ring slot while lookahead crosses it)."""
+    from goctr_tpu.ops.pallas.run_optimizer import (
+        apply_run_updates, pack_table)
+
+    d, n, vocab = 8, 3 * 1024, 300
+    # zipf-ish dups: id 0 gets a very long run (> RING and spanning blocks)
+    raw = np.concatenate([
+        np.zeros(700, np.int64),                       # long run
+        rng.integers(0, vocab, n - 700 - 100),
+        np.full(100, -1, np.int64),                    # pads
+    ])
+    ids_clean = np.where(raw >= 0, raw, vocab)
+    order = np.argsort(ids_clean, kind="stable")
+    s_ids = ids_clean[order].astype(np.int32)
+    g = rng.normal(0, 0.5, (n, d)).astype(np.float32)
+    g[raw < 0] = 0.0
+    s_rows = g[order]
+
+    w0 = rng.normal(0, 1, (vocab, d)).astype(np.float32)
+    acc0 = rng.random(vocab).astype(np.float32) * 0.1
+    packed = pack_table(jnp.asarray(w0), jnp.asarray(acc0))
+
+    got = apply_run_updates(packed, jnp.asarray(s_ids),
+                            jnp.asarray(s_rows), lr=0.25, d=d, kind=kind,
+                            skip_ge=vocab, interpret=True)
+    want_w, want_acc = _run_optimizer_oracle(
+        w0, acc0, s_ids, s_rows, 0.25, kind, 1e-8, vocab, d)
+    np.testing.assert_allclose(np.asarray(got)[:, :d], want_w,
+                               rtol=2e-4, atol=2e-5)
+    if kind == "adagrad":
+        np.testing.assert_allclose(np.asarray(got)[:, d], want_acc,
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_run_optimizer_jnp_fallback_matches_oracle(rng):
+    """The CPU fallback (_apply_run_updates_jnp via backend routing) must
+    agree with the same oracle."""
+    from goctr_tpu.ops.pallas.run_optimizer import (
+        apply_run_updates, pack_table)
+
+    d, n, vocab = 8, 1024, 100
+    raw = rng.integers(0, vocab, n)
+    s_ids = np.sort(raw).astype(np.int32)
+    s_rows = rng.normal(0, 0.5, (n, d)).astype(np.float32)
+    w0 = rng.normal(0, 1, (vocab, d)).astype(np.float32)
+    acc0 = np.zeros(vocab, np.float32)
+    packed = pack_table(jnp.asarray(w0), jnp.asarray(acc0))
+    got = apply_run_updates(packed, jnp.asarray(s_ids),
+                            jnp.asarray(s_rows), lr=0.5, d=d)
+    want_w, want_acc = _run_optimizer_oracle(
+        w0, acc0, s_ids, s_rows, 0.5, "adagrad", 1e-8, vocab, d)
+    np.testing.assert_allclose(np.asarray(got)[:, :d], want_w,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got)[:, d], want_acc,
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_row_optimizer_kernel_skip_ge_matches_full(rng):
     """skip_ge: junk-target rows (id >= vocab, zero g) are skipped at the
     DMA level; result must be bit-identical to the unskipped kernel. Junk
