@@ -411,11 +411,19 @@ class Word2Vec:
                     per = jnp.take(cnt, ids, mode="clip")
                     return jnp.minimum(1.0, cap / jnp.maximum(per, 1.0))
 
-                # all table writes go through the sorted/dedup'd scatter
-                # (ops/scatter.py): duplicate rows are segment-summed on
-                # device so XLA emits the collision-free scatter fast path —
-                # numerically identical to .at[].add, order of fp adds aside
-                from goctr_tpu.ops.scatter import scatter_add_dedup
+                # all table writes are PLAIN masked .at[].add scatters:
+                # at item2vec vocabs (10k-100k) the table is small enough
+                # that XLA vectorizes the scatter — measured 93.3M rows/s
+                # vs 27.7M for the sort+dedup front-end at V=10k, n=1.1M
+                # (BENCH_NOTES r3; the serial-scatter wall only exists for
+                # multi-GB tables). The r3 dedup'd variant additionally
+                # made the 809-batch epoch dispatch long enough to crash
+                # the relay worker. Duplicate ids sum natively — identical
+                # math, fp order aside; -1 ids contribute nothing.
+                def scatter_rows(tab, ids, rows):
+                    m = (ids >= 0).astype(jnp.float32)
+                    return tab.at[jnp.maximum(ids, 0)].add(
+                        rows * m[:, None])
 
                 dim = w_in.shape[1]
                 if is_hs:
@@ -429,7 +437,7 @@ class Word2Vec:
                     g = (1.0 - codes - f) * pmask * lr             # [B,P]
                     dv = jnp.einsum("bp,bpd->bd", g, u)
                     gs = g * row_scale(p_safe, pmask, w_out.shape[0])
-                    w_out = scatter_add_dedup(
+                    w_out = scatter_rows(
                         w_out, jnp.where(pmask > 0, p_safe, -1).reshape(-1),
                         (gs[..., None] * v[:, None, :]).reshape(-1, dim))
                 else:
@@ -447,7 +455,7 @@ class Word2Vec:
                     g = (labels - jax.nn.sigmoid(z)) * t_mask[:, None] * lr
                     dv = jnp.einsum("bk,bkd->bd", g, u)
                     gs = g * row_scale(ids, jnp.ones_like(g), w_out.shape[0])
-                    w_out = scatter_add_dedup(
+                    w_out = scatter_rows(
                         w_out, ids.reshape(-1),
                         (gs[..., None] * v[:, None, :]).reshape(-1, dim))
 
@@ -455,13 +463,13 @@ class Word2Vec:
                     sc = row_scale(ctx_safe, ctx_m, w_in.shape[0])
                     upd = ((dv / denom)[:, None, :]
                            * (ctx_m * sc)[..., None])
-                    w_in = scatter_add_dedup(
+                    w_in = scatter_rows(
                         w_in, jnp.where(ctx_m > 0, ctx_safe, -1).reshape(-1),
                         upd.reshape(-1, dim))
                 else:
                     in_ids = jnp.maximum(ctx, 0)
                     sc = row_scale(in_ids, t_mask, w_in.shape[0])
-                    w_in = scatter_add_dedup(
+                    w_in = scatter_rows(
                         w_in, jnp.where(t_mask > 0, in_ids, -1),
                         dv * (t_mask * sc)[:, None])
                 return (w_in, w_out), None
