@@ -103,6 +103,7 @@ class Word2Vec:
         w_in = jnp.asarray(self.w_in)
         w_out = jnp.asarray(self.w_out)
         device_tables = self._device_tables()
+        row_scales = self._static_row_scales(counts)
         step_fn = self._make_epoch_fn()
 
         # Host window-expansion for iteration i+1 overlaps the device scan
@@ -156,7 +157,7 @@ class Word2Vec:
                 lr_end = max(o.min_lr, o.init_lr *
                              (1 - words_done / total_train_words))
                 w_in, w_out = step_fn(
-                    w_in, w_out, *device_tables, *batches,
+                    w_in, w_out, *device_tables, *row_scales, *batches,
                     jnp.float32(lr_start), jnp.float32(lr_end),
                     jax.random.key(o.seed * 1000 + it))
                 self.words_trained += n_ex
@@ -206,6 +207,7 @@ class Word2Vec:
         w_in = jnp.asarray(self.w_in)
         w_out = jnp.asarray(self.w_out)
         device_tables = self._device_tables()
+        row_scales = self._static_row_scales(counts)
         step_fn = self._make_epoch_fn()
 
         words_done = 0
@@ -230,7 +232,7 @@ class Word2Vec:
                     key = iter_key if chunk_idx == 0 else \
                         jax.random.fold_in(iter_key, chunk_idx)
                     w_in, w_out = step_fn(
-                        w_in, w_out, *device_tables,
+                        w_in, w_out, *device_tables, *row_scales,
                         *self._batchify(centers, ctx, rng),
                         jnp.float32(lr_start), jnp.float32(lr_end), key)
                     self.words_trained += centers.size
@@ -362,6 +364,41 @@ class Word2Vec:
         return (jnp.asarray(self.dictionary.unigram_table(o.table_size)),
                 jnp.zeros((0, 0), jnp.float32))   # placeholder
 
+    def _static_row_scales(self, counts: np.ndarray, cap: float = 16.0):
+        """Expectation-based per-row update caps.
+
+        r2 capped each row's accumulated in-batch step at `cap` examples'
+        worth using REALIZED per-batch counts — two extra 1M-row scatter
+        passes per batch, half the epoch's device wall (BENCH_NOTES r3).
+        The corpus is stationary, so the expected per-batch count is a
+        static function of corpus statistics: word i appears ≈ B·p(i)
+        times among a batch's input rows, a Huffman node n appears
+        ≈ B·Σ_{w: n ∈ path(w)} p(w) times among output rows, an NS
+        output row ≈ B·(p(i) + K·q(i)) with q the unigram^0.75 table law.
+        Same stability property, zero train-time scatters.
+        """
+        o = self.opts
+        p = counts / max(counts.sum(), 1)
+        B = float(o.batch_size)
+        if o.model == "cbow":
+            exp_in = B * 2 * o.window * p      # one hit per context slot
+        else:
+            exp_in = B * p                     # ctx word's input vector
+        if o.optimizer == "hs":
+            node_p = np.zeros(self.w_out.shape[0], np.float64)
+            valid = self._paths >= 0
+            np.add.at(node_p, np.maximum(self._paths, 0).ravel(),
+                      (p[:, None] * valid).ravel())
+            exp_out = B * node_p
+        else:
+            tab = self.dictionary.unigram_table(o.table_size)
+            q = np.bincount(tab, minlength=len(counts)) / max(len(tab), 1)
+            exp_out = B * (p + o.negative * q)
+        s_in = np.minimum(1.0, cap / np.maximum(exp_in, 1.0))
+        s_out = np.minimum(1.0, cap / np.maximum(exp_out, 1.0))
+        return (jnp.asarray(s_in.astype(np.float32)),
+                jnp.asarray(s_out.astype(np.float32)))
+
     # ------------------------------------------------------- jitted epoch --
     def _make_epoch_fn(self):
         o = self.opts
@@ -370,8 +407,8 @@ class Word2Vec:
         neg_k = o.negative
 
         @partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
-        def epoch(w_in, w_out, tab_a, tab_b, centers_b, ctx_b,
-                  lr_start, lr_end, key):
+        def epoch(w_in, w_out, tab_a, tab_b, scale_in, scale_out,
+                  centers_b, ctx_b, lr_start, lr_end, key):
             n_batches = centers_b.shape[0]
 
             def body(carry, args):
@@ -403,13 +440,11 @@ class Word2Vec:
                 # Hogwild processes one at a time, word2vec.go:198-221, so
                 # its lr is per-example). Sum is exactly per-example SGD
                 # when collisions ≈ 1 (any realistic vocab); to stay stable
-                # when vocab ≪ batch, the accumulated per-row step is capped
-                # at `cap` examples' worth: scale = min(1, cap/count).
-                def row_scale(ids, mask, n_rows, cap=16.0):
-                    cnt = jnp.zeros((n_rows,), jnp.float32).at[ids].add(
-                        mask, mode="drop")
-                    per = jnp.take(cnt, ids, mode="clip")
-                    return jnp.minimum(1.0, cap / jnp.maximum(per, 1.0))
+                # when vocab ≪ batch, the accumulated per-row step is
+                # capped at `cap` examples' worth via the STATIC
+                # expectation-based scales (_static_row_scales) — r2's
+                # realized-count version cost two extra 1M-row scatter
+                # passes per batch (half the epoch device wall).
 
                 # all table writes are PLAIN masked .at[].add scatters:
                 # at item2vec vocabs (10k-100k) the table is small enough
@@ -436,7 +471,7 @@ class Word2Vec:
                     f = jax.nn.sigmoid(z)
                     g = (1.0 - codes - f) * pmask * lr             # [B,P]
                     dv = jnp.einsum("bp,bpd->bd", g, u)
-                    gs = g * row_scale(p_safe, pmask, w_out.shape[0])
+                    gs = g * jnp.take(scale_out, p_safe)
                     w_out = scatter_rows(
                         w_out, jnp.where(pmask > 0, p_safe, -1).reshape(-1),
                         (gs[..., None] * v[:, None, :]).reshape(-1, dim))
@@ -454,13 +489,13 @@ class Word2Vec:
                     z = jnp.einsum("bd,bkd->bk", v, u)
                     g = (labels - jax.nn.sigmoid(z)) * t_mask[:, None] * lr
                     dv = jnp.einsum("bk,bkd->bd", g, u)
-                    gs = g * row_scale(ids, jnp.ones_like(g), w_out.shape[0])
+                    gs = g * jnp.take(scale_out, ids)
                     w_out = scatter_rows(
                         w_out, ids.reshape(-1),
                         (gs[..., None] * v[:, None, :]).reshape(-1, dim))
 
                 if is_cbow:
-                    sc = row_scale(ctx_safe, ctx_m, w_in.shape[0])
+                    sc = jnp.take(scale_in, ctx_safe)
                     upd = ((dv / denom)[:, None, :]
                            * (ctx_m * sc)[..., None])
                     w_in = scatter_rows(
@@ -468,7 +503,7 @@ class Word2Vec:
                         upd.reshape(-1, dim))
                 else:
                     in_ids = jnp.maximum(ctx, 0)
-                    sc = row_scale(in_ids, t_mask, w_in.shape[0])
+                    sc = jnp.take(scale_in, in_ids)
                     w_in = scatter_rows(
                         w_in, jnp.where(t_mask > 0, in_ids, -1),
                         dv * (t_mask * sc)[:, None])
