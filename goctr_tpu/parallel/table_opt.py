@@ -42,7 +42,9 @@ class TableOptConfig:
     kind: str = "adagrad"       # adagrad | sgd
     lr: float = 0.01
     eps: float = 1e-8
-    update_mode: str = "dedup"  # fused | dedup | sorted | plain
+    # default = the measured-best mode at headline scale (BENCH_NOTES r3:
+    # fused+skip 232.5k ex/s vs plain 123.7k); bench.py uses it as-is
+    update_mode: str = "fused"  # fused | runfused | dedup | sorted | plain
     # gather the batch's embedding rows in ascending-id order (one sort +
     # inverse take) instead of raw order — A/B knob for the HBM-random-read
     # bound of the forward gather
