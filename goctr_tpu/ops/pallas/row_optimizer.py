@@ -244,6 +244,205 @@ def unpack_table(table_packed: jax.Array, d: int):
     return table_packed[:, :d], table_packed[:, d]
 
 
+_END = 1 << 30
+_CSUM_ID_MASK = _END - 1
+
+
+def pack_end_meta(s_ids: jax.Array) -> jax.Array:
+    """SORTED ids [n] int32 → (id | run_end << 30) stream for the csum
+    kernel. Vocab cap 2^30 − 2."""
+    end = jnp.concatenate([s_ids[1:] != s_ids[:-1], jnp.ones((1,), bool)])
+    return (s_ids | jnp.where(end, _END, 0)).astype(jnp.int32)
+
+
+def _csum_kernel(meta_ref, lr_ref, c_ref, tin_ref, tout_ref,
+                 rbuf, wbuf, prev_c, r_sems, w_sems, *, d: int, kind: str,
+                 eps: float, n_rows: int, skip_ge: int):
+    """Diff-mode fused optimizer: c_ref holds the BLOCKWISE-GLOBAL
+    inclusive cumsum of the sorted row gradients; each run's summed
+    gradient is c[end_k] − c[end_{k−1}], tracked via the prev_c VMEM
+    register (persists across grid blocks; reset at block 0). Junk/pad
+    positions (id >= skip_ge) are skipped at the DMA level AND never
+    update prev_c — their cumsum rows pass through untouched, which is
+    exact because their gradient rows are zero. This deletes the XLA-side
+    boundary gather / cummax / where-zeroing / pack_grads of the v1 dedup
+    front-end (BENCH_NOTES r3: 18.8 + 4.6 ms per 540k-row batch)."""
+    i = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    m_acc = (lane == d).astype(jnp.float32)
+    lr = lr_ref[0, 0]
+
+    @pl.when(i == 0)
+    def _init():
+        prev_c[...] = jnp.zeros((1, d), jnp.float32)
+
+    def parts(j):
+        meta = meta_ref[j]
+        idv = meta & _CSUM_ID_MASK
+        return idv, (idv < skip_ge) & ((meta & _END) != 0)
+
+    def read_dma(j):
+        slot = j % RING
+        return pltpu.make_async_copy(
+            tin_ref.at[pl.ds(parts(j)[0], 1)], rbuf.at[slot],
+            r_sems.at[slot])
+
+    def write_dma(j):
+        slot = j % RING
+        return pltpu.make_async_copy(
+            wbuf.at[slot], tout_ref.at[pl.ds(parts(j)[0], 1)],
+            w_sems.at[slot])
+
+    def warm(t, carry):
+        @pl.when(parts(t)[1])
+        def _():
+            read_dma(t).start()
+        return carry
+
+    jax.lax.fori_loop(0, min(RING, n_rows), warm, 0)
+
+    def body(j, outstanding):
+        slot = j % RING
+        bit = jax.lax.shift_left(jnp.int32(1), slot)
+        real = parts(j)[1]
+
+        @pl.when(real)
+        def _compute():
+            @pl.when((outstanding & bit) != 0)
+            def _wait_prev_write():
+                write_dma(j).wait()
+
+            read_dma(j).wait()
+            r = rbuf[slot]                        # (1, 128): w | acc | pad
+            cur = c_ref[pl.ds(j, 1), :]           # (1, d) cumsum row
+            diff = cur - prev_c[...]              # Σ g over this run
+            prev_c[...] = cur
+            if kind == "adagrad":
+                nsq = jnp.sum(diff * diff, axis=1, keepdims=True)
+                r_acc = r + nsq * m_acc           # acc' in lane d
+                av = jnp.sum(r_acc * m_acc, axis=1, keepdims=True)
+                scale = lr * jax.lax.rsqrt(av + eps)
+                wbuf[slot] = r_acc
+                wbuf[slot, 0:1, 0:d] = r_acc[0:1, 0:d] - scale * diff
+            else:
+                wbuf[slot] = r
+                wbuf[slot, 0:1, 0:d] = r[0:1, 0:d] - lr * diff
+            write_dma(j).start()
+
+        @pl.when((j + RING < n_rows) & parts(j + RING)[1])
+        def _start_next_read():
+            read_dma(j + RING).start()
+
+        return jnp.where(real, outstanding | bit, outstanding)
+
+    outstanding = jax.lax.fori_loop(0, n_rows, body, jnp.int32(0))
+
+    def drain(slot, carry):
+        bit = jax.lax.shift_left(jnp.int32(1), slot)
+
+        @pl.when((carry & bit) != 0)
+        def _():
+            pltpu.make_async_copy(
+                wbuf.at[slot], tout_ref.at[pl.ds(0, 1)],
+                w_sems.at[slot]).wait()
+        return carry
+
+    jax.lax.fori_loop(0, min(RING, n_rows), drain, outstanding)
+
+
+def apply_csum_updates(table_packed, s_ids, c_rows, lr, d: int,
+                       kind: str = "adagrad", eps: float = 1e-8,
+                       skip_ge: int | None = None,
+                       interpret: bool = False) -> jax.Array:
+    """Diff-mode fused optimizer (see _csum_kernel).
+
+    table_packed [V, 128] f32 (w | acc | pad); s_ids [n] int32 SORTED
+    (duplicates fine — only run ends act); c_rows [n, d] f32 = the
+    inclusive cumsum over the sorted (zero-for-pad) gradient rows
+    (ops/segsum._cumsum_rows). Rows with id >= skip_ge (default V) are
+    skipped; the table needs NO junk rows. n must be a multiple of 1024.
+    """
+    v = table_packed.shape[0]
+    if skip_ge is None:
+        skip_ge = v
+    if not 0 < d < LANES:
+        raise ValueError(f"csum optimizer requires 0 < d < {LANES}")
+    if skip_ge > _CSUM_ID_MASK - 1:
+        raise ValueError(f"vocab {skip_ge} exceeds id cap {_CSUM_ID_MASK}")
+    if not interpret and jax.default_backend() != "tpu":
+        return _apply_csum_updates_jnp(table_packed, s_ids, c_rows, lr,
+                                       kind, eps, d, skip_ge)
+    n = s_ids.shape[0]
+    r = min(ROWS_PER_STEP, n)
+    if n % r:
+        raise ValueError(f"n={n} must be a multiple of {r}")
+    meta = pack_end_meta(s_ids)
+    return pl.pallas_call(
+        functools.partial(_csum_kernel, d=d, kind=kind, eps=eps, n_rows=r,
+                          skip_ge=skip_ge),
+        grid=(n // r,),
+        in_specs=[
+            pl.BlockSpec((r,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((r, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # table in (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(table_packed.shape, jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((RING, 1, LANES), jnp.float32),
+            pltpu.VMEM((RING, 1, LANES), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),          # prev_c register
+            pltpu.SemaphoreType.DMA((RING,)),
+            pltpu.SemaphoreType.DMA((RING,)),
+        ],
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(meta, jnp.asarray(lr, jnp.float32).reshape(1, 1),
+      c_rows.astype(jnp.float32), table_packed)
+
+
+def _apply_csum_updates_jnp(table_packed, s_ids, c_rows, lr, kind, eps,
+                            d: int, skip_ge: int):
+    """Fallback: recover per-run sums from the cumsum diffs of CONSECUTIVE
+    REAL RUN ENDS (same math as the kernel's prev_c register), then one
+    unique-row update."""
+    n = s_ids.shape[0]
+    is_end = jnp.concatenate(
+        [s_ids[1:] != s_ids[:-1], jnp.ones((1,), bool)])
+    real = is_end & (s_ids < skip_ge)
+    # previous real end's position per row: shifted cummax (-1 = none)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    prev_end = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32),
+         jax.lax.cummax(jnp.where(real, pos, -1))[:-1]])
+    prev_c = jnp.where(
+        (prev_end >= 0)[:, None],
+        jnp.take(c_rows, jnp.maximum(prev_end, 0), axis=0), 0.0)
+    rows = jnp.where(real[:, None], c_rows - prev_c, 0.0)
+    v = table_packed.shape[0]
+    safe = jnp.where(real, s_ids, v)
+    cur = jnp.take(table_packed, jnp.where(real, s_ids, 0), axis=0)
+    nsq = jnp.sum(rows * rows, axis=1, keepdims=True)
+    lane = jnp.arange(LANES)
+    m_w = (lane < d).astype(jnp.float32)
+    m_acc = (lane == d).astype(jnp.float32)
+    rows_p = jnp.zeros((n, LANES), jnp.float32).at[:, :d].set(rows)
+    if kind == "adagrad":
+        r_acc = cur + nsq * m_acc
+        av = jnp.sum(r_acc * m_acc, axis=1, keepdims=True)
+        scale = jnp.asarray(lr, jnp.float32) * jax.lax.rsqrt(av + eps)
+        new = r_acc - scale * (rows_p * m_w)
+    else:
+        new = cur - jnp.asarray(lr, jnp.float32) * (rows_p * m_w)
+    new = jnp.where(real[:, None], new, cur)
+    return table_packed.at[safe].set(new, mode="drop")
+
+
 def pack_grads(g: jax.Array) -> jax.Array:
     """[n, D] row gradients → [n, 128] (g | ‖g‖² | 0) update rows.
     Lane-slice updates for the same tiling reason as pack_table."""

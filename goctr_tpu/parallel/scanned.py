@@ -158,6 +158,31 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
                                  sorted_ids=True)
         return table, acc
 
+    if topt.update_mode == "fused2":
+        # diff-mode: sort + ONE blockwise cumsum; the kernel recovers each
+        # run's summed gradient as the diff of consecutive run-end cumsum
+        # rows (prev_c register) — no boundary gather, no cummax, no
+        # zeroing, no grad packing, no junk table rows
+        # (ops/pallas/row_optimizer.apply_csum_updates).
+        from goctr_tpu.ops.pallas.row_optimizer import apply_csum_updates
+        from goctr_tpu.ops.segsum import _cumsum_rows
+        n0 = ids_flat.shape[0]
+        n_to = -(-n0 // 1024) * 1024
+        ids_clean = jnp.where(ids_flat >= 0, ids_flat, V)
+        if n_to > n0:
+            ids_clean = jnp.concatenate(
+                [ids_clean, jnp.full((n_to - n0,), V, ids_clean.dtype)])
+            g_flat = jnp.concatenate(
+                [g_flat, jnp.zeros((n_to - n0, g_flat.shape[1]),
+                                   g_flat.dtype)])
+        order = jnp.argsort(ids_clean)
+        s_ids = jnp.take(ids_clean, order)
+        c = _cumsum_rows(jnp.take(g_flat, order, axis=0))
+        table = apply_csum_updates(table, s_ids, c, lr=topt.lr,
+                                   d=g_flat.shape[1], kind=topt.kind,
+                                   eps=topt.eps, skip_ge=V)
+        return table, acc
+
     if topt.update_mode == "runfused":
         # v2: sort with duplicates and feed the sorted-run fused kernel —
         # run summing happens IN the kernel (VMEM accumulation per run, one
@@ -296,7 +321,7 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
     # dedup/fused modes scatter into distinct in-range junk rows past the
     # vocab (see _table_update); physically extend table/acc once here.
     # runfused needs NO junk rows (pads/junk are skipped pre-DMA).
-    fused = topt.update_mode in ("fused", "runfused")
+    fused = topt.update_mode in ("fused", "runfused", "fused2")
     if fused and D >= 128:
         raise ValueError(f"update_mode={topt.update_mode!r} requires "
                          "emb_dim < 128 (weights+acc pack into one "

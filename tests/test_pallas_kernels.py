@@ -227,6 +227,45 @@ def test_run_optimizer_jnp_fallback_matches_oracle(rng):
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize("kind", ["adagrad", "sgd"])
+def test_csum_optimizer_kernel_interpret_matches_oracle(rng, kind):
+    """Diff-mode fused optimizer (apply_csum_updates, interpret): run sums
+    recovered as diffs of consecutive run-end cumsum rows must match the
+    sequential oracle — duplicates, pads at id=vocab, runs spanning the
+    block boundary."""
+    from goctr_tpu.ops.pallas.row_optimizer import (
+        apply_csum_updates, pack_table)
+    from goctr_tpu.ops.segsum import _cumsum_rows
+
+    d, n, vocab = 8, 2 * 1024, 200
+    raw = np.concatenate([
+        np.zeros(300, np.int64),
+        rng.integers(0, vocab, n - 300 - 64),
+        np.full(64, -1, np.int64),
+    ])
+    ids_clean = np.where(raw >= 0, raw, vocab)
+    order = np.argsort(ids_clean, kind="stable")
+    s_ids = ids_clean[order].astype(np.int32)
+    g = rng.normal(0, 0.5, (n, d)).astype(np.float32)
+    g[raw < 0] = 0.0
+    s_rows = g[order]
+    c = np.asarray(_cumsum_rows(jnp.asarray(s_rows)))
+
+    w0 = rng.normal(0, 1, (vocab, d)).astype(np.float32)
+    acc0 = rng.random(vocab).astype(np.float32) * 0.1
+    packed = pack_table(jnp.asarray(w0), jnp.asarray(acc0))
+    got = apply_csum_updates(packed, jnp.asarray(s_ids), jnp.asarray(c),
+                             lr=0.25, d=d, kind=kind, skip_ge=vocab,
+                             interpret=True)
+    want_w, want_acc = _run_optimizer_oracle(
+        w0, acc0, s_ids, s_rows, 0.25, kind, 1e-8, vocab, d)
+    np.testing.assert_allclose(np.asarray(got)[:, :d], want_w,
+                               rtol=2e-4, atol=2e-4)
+    if kind == "adagrad":
+        np.testing.assert_allclose(np.asarray(got)[:, d], want_acc,
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_row_optimizer_kernel_skip_ge_matches_full(rng):
     """skip_ge: junk-target rows (id >= vocab, zero g) are skipped at the
     DMA level; result must be bit-identical to the unskipped kernel. Junk

@@ -36,8 +36,9 @@ def _planted(n, vocab, t=5, seed=0):
 
 @pytest.mark.parametrize("kind,mode", [
     ("adagrad", "dedup"), ("adagrad", "sorted"), ("adagrad", "plain"),
-    ("adagrad", "fused"), ("adagrad", "runfused"), ("sgd", "dedup"),
-    ("sgd", "plain"), ("sgd", "fused"), ("sgd", "runfused"),
+    ("adagrad", "fused"), ("adagrad", "runfused"), ("adagrad", "fused2"),
+    ("sgd", "dedup"), ("sgd", "plain"), ("sgd", "fused"),
+    ("sgd", "runfused"), ("sgd", "fused2"),
 ])
 def test_scanned_learns_planted_signal(kind, mode):
     vocab = 200
@@ -90,18 +91,20 @@ def test_fused_matches_dedup_adagrad_exactly():
     cfg = TrainerConfig(batch_size=512, epochs=2, early_stop=0,
                         shuffle=False, seed=3)
     out = {}
-    for mode in ("dedup", "fused", "runfused"):
+    for mode in ("dedup", "fused", "runfused", "fused2"):
         r = train_sparse_scanned(model, train, cfg,
                                  TableOptConfig(kind="adagrad", lr=0.3,
                                                 update_mode=mode))
         out[mode] = (np.asarray(r.table[:vocab]), np.asarray(r.acc[:vocab]),
                      r.loss_curve)
-    for mode in ("fused", "runfused"):
-        np.testing.assert_allclose(out[mode][0], out["dedup"][0],
-                                   rtol=1e-5, atol=1e-7)
-        np.testing.assert_allclose(out[mode][1], out["dedup"][1],
-                                   rtol=1e-5, atol=1e-7)
-        np.testing.assert_allclose(out[mode][2], out["dedup"][2], rtol=1e-5)
+    for mode in ("fused", "runfused", "fused2"):
+        # fused2 recovers run sums as diffs of cumsum rows — the
+        # cancellation costs a few ulps vs direct segment sums
+        tol = dict(rtol=1e-4, atol=1e-6) if mode == "fused2" else \
+            dict(rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(out[mode][0], out["dedup"][0], **tol)
+        np.testing.assert_allclose(out[mode][1], out["dedup"][1], **tol)
+        np.testing.assert_allclose(out[mode][2], out["dedup"][2], rtol=1e-4)
 
 
 def test_scanned_bf16_and_ragged_predict():
