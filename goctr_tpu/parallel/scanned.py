@@ -572,7 +572,7 @@ def model_bytes_per_example(model: SparseCTR, T: int,
     row = D * 4.0
     packed = 128.0 * 4.0                    # packed 128-lane rows (w|acc|pad)
     rows = T + 1.0
-    is_packed = update_mode in ("fused", "runfused")
+    is_packed = update_mode in ("fused", "runfused", "fused2")
     gather = rows * (packed if is_packed else row)
     scatter = 2.0 * rows * (packed if is_packed else row)
     if is_packed:
@@ -591,6 +591,10 @@ def model_bytes_per_example(model: SparseCTR, T: int,
         # id sort (2×4B) + row permute (2×row) + the kernel's [n, D]
         # g-block stream (row) — run summing happens in VMEM
         pipeline = rows * (8.0 + 3.0 * row)
+    elif update_mode == "fused2":
+        # id sort (2×4B) + row permute (2×row) + blockwise cumsum
+        # (2×row) + the kernel's [n, D] cumsum-block stream (row)
+        pipeline = rows * (8.0 + 5.0 * row)
     elif update_mode in ("dedup", "fused"):
         # ops/segsum.py per update row: id sort (2×4B), row permute
         # (2×row), in-block cumsum (2×row), exclusive/boundary gather
