@@ -125,14 +125,17 @@ def _kernel(ids_ref, lr_ref, g_ref, tin_ref, tout_ref,
     outstanding = jax.lax.fori_loop(0, n_rows, body, jnp.int32(0))
 
     # drain: every slot with an in-flight write must land before the
-    # kernel (and program) completes
+    # kernel (and program) completes. The descriptor's address is unused by
+    # wait (shape + semaphore only) — use row 0 so a junk first id (which
+    # may exceed the table when the caller allocates no junk rows) never
+    # appears in a descriptor.
     def drain(slot, carry):
         bit = jax.lax.shift_left(jnp.int32(1), slot)
 
         @pl.when((carry & bit) != 0)
         def _():
             pltpu.make_async_copy(
-                wbuf.at[slot], tout_ref.at[pl.ds(ids_ref[0], 1)],
+                wbuf.at[slot], tout_ref.at[pl.ds(0, 1)],
                 w_sems.at[slot]).wait()
         return carry
 
@@ -163,7 +166,7 @@ def apply_row_updates(table_packed, ids, g_packed, lr, d: int,
         raise ValueError(f"packed row optimizer requires 0 < D < {LANES}")
     if not interpret and jax.default_backend() != "tpu":
         return _apply_row_updates_jnp(table_packed, ids, g_packed, lr,
-                                      kind, eps, d)
+                                      kind, eps, d, skip_ge)
     n = ids.shape[0]
     r = min(ROWS_PER_STEP, n)
     if n % r:
@@ -198,13 +201,18 @@ def apply_row_updates(table_packed, ids, g_packed, lr, d: int,
 
 
 def _apply_row_updates_jnp(table_packed, ids, g_packed, lr, kind, eps,
-                           d: int = 64):
+                           d: int = 64, skip_ge: int | None = None):
     """Reference/fallback path (CPU, tests): identical math via one
-    unique-row scatter. Requires the same pairwise-distinct ids."""
+    unique-row scatter. Requires the same pairwise-distinct ids.
+
+    skip_ge matches the TPU kernel's semantics: rows with id >= skip_ge are
+    untouched and may be OUT OF BOUNDS of the table (reads clamp, writes
+    drop) — so fused-mode callers need no junk pad rows on any backend."""
     lane = jnp.arange(LANES)
     m_w = (lane < d).astype(jnp.float32)
     m_acc = (lane == d).astype(jnp.float32)
-    r = jnp.take(table_packed, ids, axis=0)
+    read_ids = jnp.minimum(ids, table_packed.shape[0] - 1)
+    r = jnp.take(table_packed, read_ids, axis=0)
     if kind == "adagrad":
         r_acc = r + g_packed * m_acc
         acc = jnp.sum(r_acc * m_acc, axis=1, keepdims=True)
@@ -212,6 +220,10 @@ def _apply_row_updates_jnp(table_packed, ids, g_packed, lr, kind, eps,
         new = r_acc - scale * (g_packed * m_w)
     else:
         new = r - jnp.asarray(lr, jnp.float32) * (g_packed * m_w)
+    if skip_ge is not None:
+        new = jnp.where((ids < skip_ge)[:, None], new, r)
+        return table_packed.at[ids].set(new, mode="drop",
+                                        unique_indices=True)
     return table_packed.at[ids].set(new, mode="promise_in_bounds",
                                     unique_indices=True)
 

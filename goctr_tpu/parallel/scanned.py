@@ -220,12 +220,14 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
     # final scatter itself (190 ms/1M rows, BENCH_NOTES r3). The output
     # stays position-aligned: position i carries its run's full sum iff it
     # is the run's last position (target = the id), else zeros targeted at
-    # a DISTINCT junk row past the vocab. The table/acc carry `2n + 2` junk
-    # pad rows (see V_ALLOC in train_sparse_scanned) so every target —
-    # including -1 behavior pads — is a real in-range row: scatters run
-    # with strictly-true unique promises and PROMISE_IN_BOUNDS, never the
+    # a DISTINCT junk id past the vocab. In `dedup` mode the table/acc
+    # carry `n + 2` junk pad rows (see V_ALLOC in train_sparse_scanned) so
+    # every scatter target is a real in-range row: scatters run with
+    # strictly-true unique promises and PROMISE_IN_BOUNDS, never the
     # OOB-drop path (which faulted the TPU worker at 10M-vocab scale,
-    # BENCH_NOTES.md).
+    # BENCH_NOTES.md). In `fused` mode NO junk rows are allocated: the
+    # kernel's skip_ge gate skips junk targets pre-DMA and the jnp fallback
+    # drops their writes, so junk ids may point past the table.
     from goctr_tpu.ops.pallas.row_optimizer import ROWS_PER_STEP
     from goctr_tpu.ops.segsum import segment_rows_dedup
     n0 = ids_flat.shape[0]
@@ -318,16 +320,17 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
         table = jax.random.normal(k_table, (V, D), jnp.float32) * 0.01
         acc = jnp.zeros((V,), jnp.float32)  # adagrad moment (unused for sgd)
 
-    # dedup/fused modes scatter into distinct in-range junk rows past the
-    # vocab (see _table_update); physically extend table/acc once here.
-    # runfused needs NO junk rows (pads/junk are skipped pre-DMA).
+    # dedup mode scatters into distinct in-range junk rows past the vocab
+    # (see _table_update); physically extend table/acc once here. The
+    # packed modes (fused/runfused/fused2) need NO junk rows: junk/pad
+    # targets are skipped pre-DMA by skip_ge (or dropped by the fallback).
     fused = topt.update_mode in ("fused", "runfused", "fused2")
     if fused and D >= 128:
         raise ValueError(f"update_mode={topt.update_mode!r} requires "
                          "emb_dim < 128 (weights+acc pack into one "
                          "128-lane row)")
     v_alloc = V + (table_pad_rows(bs, T)
-                   if topt.update_mode in ("dedup", "fused") else 0)
+                   if topt.update_mode == "dedup" else 0)
     if table.shape[0] < v_alloc:
         table = jnp.concatenate(
             [table, jnp.zeros((v_alloc - table.shape[0], D), jnp.float32)])
@@ -580,8 +583,8 @@ def model_bytes_per_example(model: SparseCTR, T: int,
         # rows are skipped at the DMA level. real_frac = uniques / rows
         # (workload-dependent; bench.py measures it on a sample batch).
         scatter *= real_frac
-    # gather + rmw of [V] accumulator (in-row for fused mode)
-    acc = 0.0 if update_mode == "fused" else rows * 4.0 * 3.0
+    # gather + rmw of [V] accumulator (in-row for all packed modes)
+    acc = 0.0 if is_packed else rows * 4.0 * 3.0
     dataset = (model.u_profile_dim + model.ctx_dim + 2) * 4.0 + T * 4.0
     pipeline = 0.0
     if update_mode == "sorted":

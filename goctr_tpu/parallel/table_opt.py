@@ -28,6 +28,17 @@ class TableOptConfig:
                      accumulator packed per 128-lane row, one pipelined
                      read-modify-write DMA pair per unique row instead of
                      XLA's two sequential scatter loops. Requires D < 128.
+      * ``fused2`` — diff-mode fused: sort + one blockwise cumsum; the
+                     kernel recovers each run's gradient sum as the diff
+                     of consecutive run-end cumsum rows (prev_c register,
+                     ops/pallas/row_optimizer.apply_csum_updates) — no
+                     boundary gather/cummax/pack/junk rows. Requires
+                     D < 128 and vocab < 2^30. Run sums come from f32
+                     cumsum diffs, so rare-row updates carry cancellation
+                     error that grows with batch size (~sqrt(n) cumsum
+                     magnitude) — see the at-scale oracle check in
+                     tests/test_pallas_kernels.py before trusting it on a
+                     new workload.
       * ``dedup``  — sort ids, segment-sum duplicate rows, one scatter with
                      sorted+unique index guarantees; makes adagrad exact
                      (duplicates no longer race).
@@ -44,7 +55,7 @@ class TableOptConfig:
     eps: float = 1e-8
     # default = the measured-best mode at headline scale (BENCH_NOTES r3:
     # fused+skip 232.5k ex/s vs plain 123.7k); bench.py uses it as-is
-    update_mode: str = "fused"  # fused | runfused | dedup | sorted | plain
+    update_mode: str = "fused"  # fused | fused2 | runfused | dedup | sorted | plain
     # gather the batch's embedding rows in ascending-id order (one sort +
     # inverse take) instead of raw order — A/B knob for the HBM-random-read
     # bound of the forward gather

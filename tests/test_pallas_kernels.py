@@ -316,3 +316,58 @@ def test_row_gather_kernel_duplicates_and_multiblock(rng):
     got = gather_rows_packed(table, ids, interpret=True)
     want = jnp.take(table, ids, axis=0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+def test_fused2_cumsum_diff_cancellation_at_bench_scale(rng):
+    """fused2 recovers per-run gradient sums as diffs of a GLOBAL f32
+    inclusive cumsum; cancellation error grows with the cumsum magnitude
+    (~sigma*sqrt(n)). The small interpret tests can't see this — this check
+    runs the diff recovery at the r3 bench shape (n=540,672, D=64, zipf ids
+    over 10M vocab) against an exact float64 per-run oracle and bounds the
+    error where it is worst: singleton runs late in the sorted stream
+    (ADVICE r3 #4).
+
+    Bound derivation: each recovered sum is (a+s) - a computed in f32 with
+    a = preceding cumsum ~ N(0, sigma^2 * pos); rounding of the two cumsum
+    entries gives |err| <~ 2u*|a| with u = 2^-24, plus the blockwise
+    accumulation's own error. At n=540k, sigma=0.05: |a| <~ 3*sigma*
+    sqrt(n) ~ 110, so |err| <~ 2e-5 absolute per lane — ~4e-4 relative to
+    a singleton |g| ~ sigma. Asserted with 10x headroom; adagrad
+    normalizes step NORM per-row, so a 1e-2-relative direction error is
+    training-negligible (and the trainer-parity test pins end-to-end)."""
+    from goctr_tpu.ops.segsum import _cumsum_rows
+
+    n, d, vocab = 540_672, 64, 10_000_000
+    sigma = 0.05
+    # bounded-zipf ids (bench.py law): heavy duplication + a long tail of
+    # singleton runs — the worst case rows for cancellation
+    u = rng.random(n)
+    t = float(vocab) ** (1.0 - 1.05)
+    ids = np.minimum(
+        ((1.0 - u * (1.0 - t)) ** (1.0 / (1.0 - 1.05))).astype(np.int64) - 1,
+        vocab - 1).clip(0)
+    ids = np.sort(ids).astype(np.int32)
+    g = rng.normal(0, sigma, (n, d)).astype(np.float32)
+
+    c = np.asarray(_cumsum_rows(jnp.asarray(g)))          # f32, blockwise
+    is_end = np.concatenate([ids[1:] != ids[:-1], [True]])
+    end_pos = np.flatnonzero(is_end)
+    prev_end = np.concatenate([[-1], end_pos[:-1]])
+    got = c[end_pos] - np.where((prev_end >= 0)[:, None], c[prev_end.clip(0)],
+                                0.0)
+
+    c64 = np.cumsum(g.astype(np.float64), axis=0)
+    want = c64[end_pos] - np.where((prev_end >= 0)[:, None],
+                                   c64[prev_end.clip(0)], 0.0)
+
+    abs_err = np.abs(got - want.astype(np.float32)).max()
+    # 10x headroom over the derived 2e-5 bound
+    assert abs_err < 2e-4, f"cumsum-diff cancellation too large: {abs_err}"
+    # singleton runs (run length 1): the rare rows ADVICE flagged — their
+    # relative direction error must stay training-negligible
+    run_len = np.diff(np.concatenate([[-1], end_pos]))
+    single = run_len == 1
+    assert single.sum() > 50_000                # the zipf tail is really there
+    rel = (np.abs(got[single] - want[single]).max(axis=1)
+           / np.maximum(np.abs(want[single]).max(axis=1), 1e-12))
+    assert np.quantile(rel, 0.999) < 1e-2, (
+        f"singleton-run relative error q99.9 = {np.quantile(rel, 0.999)}")
