@@ -159,6 +159,44 @@ class MovielensRec:
             yield Sample(user_id=int(user_id), item_id=int(movie_id),
                          label=binarize_label(rating), timestamp=int(ts))
 
+    def sample_generator_arrays(self, ctx: Context):
+        """Column-array sample stream (same rows/order as sample_generator)
+        — feeds the orchestrator's vectorized assembly without 14.4M Sample
+        objects at the reference's ML-20M protocol scale
+        (dinimpl_test.go:26 SampleCnt=14,400,000)."""
+        cur = self.db.execute(
+            "SELECT userId, movieId, rating, timestamp FROM ratings_train "
+            "ORDER BY timestamp, userId ASC LIMIT ?", (self.sample_cnt,))
+        chunks = []
+        while True:
+            rows = cur.fetchmany(1_000_000)
+            if not rows:
+                break
+            chunks.append(np.asarray(rows, np.float64))
+        if not chunks:
+            return (np.zeros(0, np.int64),) * 2 + (
+                np.zeros(0, np.float32), np.zeros(0, np.int64))
+        arr = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        return (arr[:, 0].astype(np.int64), arr[:, 1].astype(np.int64),
+                (arr[:, 2] > 3.5).astype(np.float32),   # binarize_label
+                arr[:, 3].astype(np.int64))
+
+    def get_user_behaviors_bulk(self, ctx: Context, user_ids, timestamps,
+                                max_len: int) -> np.ndarray:
+        """Vectorized counterpart of get_user_behavior: [n, max_len] int64
+        item ids (-1 pad), newest-first with ts <= timestamps[i] — one
+        UserBehaviorCache.bulk_get instead of n per-row lookups."""
+        if ctx.stage == Stage.TRAIN:
+            if self.ubc_train is None:
+                self.pre_train(ctx)
+            cache = self.ubc_train
+        else:
+            if self.ubc_predict is None:
+                self.pre_rank(ctx)
+            cache = self.ubc_predict
+        return cache.bulk_get(np.asarray(user_ids, np.int64),
+                              np.asarray(timestamps, np.int64), max_len)
+
     # --------------------------------------------------- optional surface --
     def item_seq_generator(self, ctx: Context) -> Iterator[list[str]]:
         """Per-user liked-item docs. The reference streams one global

@@ -53,6 +53,11 @@ class TrainerConfig:
     verbose: bool = False
     checkpoint_every: int = 0      # epochs between auto-checkpoints (0=off)
     checkpoint_dir: str = ""       # where periodic checkpoints land
+    # device-resident dataset storage dtype. "float16" halves the HBM the
+    # whole-dataset-on-device trainer pins (the ML-20M protocol's 14.4M ×
+    # 281-col matrix is 16.2 GB in f32 — larger than a v5e) and is lossless
+    # for these features' dynamic range; batches are upcast on gather.
+    store_dtype: str = "float32"   # float32 | float16 | bfloat16
 
 
 @dataclasses.dataclass
@@ -127,10 +132,13 @@ def train_ranker(model: RankModel, sample: TrainSample,
     n_batches = -(-n // bs)
     n_pad = n_batches * bs
 
-    x = jnp.asarray(np.ascontiguousarray(sample.x, dtype=np.float32))
+    sdt = np.dtype(cfg.store_dtype) if cfg.store_dtype != "bfloat16" \
+        else jnp.bfloat16
+    x = jnp.asarray(np.ascontiguousarray(sample.x, dtype=np.float32)
+                    .astype(sdt, copy=False))
     y = jnp.asarray(np.ascontiguousarray(sample.y, dtype=np.float32).ravel())
     if n_pad > n:   # mask-padded tail (weight 0)
-        x = jnp.concatenate([x, jnp.zeros((n_pad - n, width), jnp.float32)])
+        x = jnp.concatenate([x, jnp.zeros((n_pad - n, width), x.dtype)])
         y = jnp.concatenate([y, jnp.zeros((n_pad - n,), jnp.float32)])
     w = jnp.concatenate([jnp.ones((n,), jnp.float32),
                          jnp.zeros((n_pad - n,), jnp.float32)])
@@ -174,7 +182,7 @@ def train_ranker(model: RankModel, sample: TrainSample,
         def body(carry, batch):
             params, opt_state = carry
             idx, b = batch
-            xb = jnp.take(x, idx, axis=0)
+            xb = jnp.take(x, idx, axis=0).astype(jnp.float32)
             yb = jnp.take(y, idx)
             wb = jnp.take(w, idx)
             dkey = jax.random.fold_in(drop_key, b)

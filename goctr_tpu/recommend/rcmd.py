@@ -243,22 +243,39 @@ def get_sample(rec_sys, ctx: Context,
 
 def _get_sample_vectorized(rec_sys, ctx: Context,
                            state: _State) -> TrainSample:
-    keys = list(rec_sys.sample_generator(ctx))
-    if not keys:
+    if hasattr(rec_sys, "sample_generator_arrays"):
+        # array fast path: the provider streams (uid, iid, label, ts)
+        # columns directly — no per-row Sample objects at ML-20M scale
+        uid, iid, y, ts = rec_sys.sample_generator_arrays(ctx)
+        uid = np.asarray(uid, np.int64)
+        iid = np.asarray(iid, np.int64)
+        y = np.asarray(y, np.float32)
+        ts = np.asarray(ts, np.int64)
+    else:
+        keys = list(rec_sys.sample_generator(ctx))
+        if not keys:
+            raise ValueError("no samples generated")
+        uid = np.asarray([k.user_id for k in keys], np.int64)
+        iid = np.asarray([k.item_id for k in keys], np.int64)
+        y = np.asarray([k.label for k in keys], np.float32)
+        ts = np.asarray([k.timestamp for k in keys], np.int64)
+    if uid.size == 0:
         raise ValueError("no samples generated")
     users = _fetch_features_unique(
-        ctx, state, rec_sys, list({k.user_id for k in keys}), "user")
+        ctx, state, rec_sys, np.unique(uid).tolist(), "user")
     items = _fetch_features_unique(
-        ctx, state, rec_sys, list({k.item_id for k in keys}), "item")
+        ctx, state, rec_sys, np.unique(iid).tolist(), "item")
     # training drops rows whose features are missing (rcmd.go:385-388)
-    kept = [k for k in keys if k.user_id in users and k.item_id in items]
-    dropped = len(keys) - len(kept)
+    _, u_rows = _feature_matrix(users)
+    _, i_rows = _feature_matrix(items)
+    keep = (u_rows(uid) > 0) & (i_rows(iid) > 0)
+    dropped = int(uid.size - keep.sum())
     if dropped:
         log.debug("dropped %d samples with missing features", dropped)
-    if not kept:
+        uid, iid, y, ts = uid[keep], iid[keep], y[keep], ts[keep]
+    if uid.size == 0:
         raise ValueError("no samples assembled")
-    x = _assemble_rows(ctx, state, rec_sys, kept, users, items)
-    y = np.asarray([k.label for k in kept], dtype=np.float32)
+    x = _assemble_rows(ctx, state, rec_sys, uid, iid, ts, users, items)
     u_width = next(iter(users.values())).shape[0]
     i_width = next(iter(items.values())).shape[0]
     ub0 = u_width
@@ -273,26 +290,54 @@ def _get_sample_vectorized(rec_sys, ctx: Context,
     return TrainSample(x=x, y=y, info=info)
 
 
-def _assemble_rows(ctx, state, rec_sys, keys, users, items) -> np.ndarray:
-    """Shared vectorized row materialization (used by training fast path
-    and BatchPredict; zero row 0 backs missing ids)."""
+def _feature_matrix(feat: dict[int, np.ndarray]):
+    """dict id→row → (mat [k+1, w] with zero row 0, rows_of(ids) vectorized
+    lookup returning 1-based matrix rows, 0 for missing ids)."""
+    k = len(feat)
+    w = next(iter(feat.values())).shape[0] if k else 0
+    ids = np.fromiter(feat.keys(), np.int64, count=k)
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    mat = np.zeros((k + 1, w), np.float32)
+    vals = list(feat.values())
+    for r, i in enumerate(order):
+        mat[r + 1] = vals[i]
+
+    def rows_of(query) -> np.ndarray:
+        q = np.asarray(query, np.int64)
+        if ids_sorted.size == 0:
+            return np.zeros(q.shape, np.int64)
+        pos = np.searchsorted(ids_sorted, q).clip(0, ids_sorted.size - 1)
+        return np.where(ids_sorted[pos] == q, pos + 1, 0)
+
+    return mat, rows_of
+
+
+def _word_rows(words) -> tuple[Optional[np.ndarray], dict]:
+    """Embedding words → (int64 id array for vectorized lookup or None if
+    words aren't integer-like, str→1-based-row dict fallback)."""
+    row_of = {w: r for r, w in enumerate(words, start=1)}
+    try:
+        int_words = np.asarray([int(w) for w in words], np.int64)
+    except (ValueError, TypeError):
+        int_words = None
+    return int_words, row_of
+
+
+def _assemble_rows(ctx, state, rec_sys, uid, iid, ts, users, items
+                   ) -> np.ndarray:
+    """Shared vectorized row materialization (training fast path and
+    BatchPredict; zero row 0 backs missing ids). uid/iid/ts are parallel
+    int64 arrays; behavior sequences resolve through the provider's
+    `get_user_behaviors_bulk` (one vectorized call) when available, else
+    the per-row `get_user_behavior` loop."""
     from goctr_tpu.native.hashing import gather_rows_concat
 
-    uw = next(iter(users.values())).shape[0] if users else 0
-    iw = next(iter(items.values())).shape[0] if items else 0
-    n = len(keys)
-    u_mat = np.zeros((len(users) + 1, uw), np.float32)
-    u_idx_of = {}
-    for r, (i, row) in enumerate(users.items(), start=1):
-        u_mat[r] = row
-        u_idx_of[i] = r
-    i_mat = np.zeros((len(items) + 1, iw), np.float32)
-    i_idx_of = {}
-    for r, (i, row) in enumerate(items.items(), start=1):
-        i_mat[r] = row
-        i_idx_of[i] = r
-    u_idx = np.asarray([u_idx_of.get(k.user_id, 0) for k in keys], np.int64)
-    i_idx = np.asarray([i_idx_of.get(k.item_id, 0) for k in keys], np.int64)
+    n = uid.shape[0]
+    u_mat, u_rows = _feature_matrix(users)
+    i_mat, i_rows = _feature_matrix(items)
+    u_idx = u_rows(uid)
+    i_idx = i_rows(iid)
 
     emb_map = state.item_embedding_map
     ub_flat = np.zeros((n, ITEM_EMB_DIM * USER_BEHAVIOR_LEN), np.float32)
@@ -301,19 +346,39 @@ def _assemble_rows(ctx, state, rec_sys, keys, users, items) -> np.ndarray:
         words, emb_mat = emb_map.as_arrays()
         emb_mat = np.concatenate(
             [np.zeros((1, emb_mat.shape[1]), np.float32), emb_mat])
-        row_of = {w: r for r, w in enumerate(words, start=1)}
-        item_emb_idx = np.asarray(
-            [row_of.get(str(k.item_id), 0) for k in keys], np.int64)
+        int_words, row_of = _word_rows(words)
+        if int_words is not None:
+            order = np.argsort(int_words)
+            iw_sorted = int_words[order]
+
+            def emb_rows_of(q):
+                q = np.asarray(q, np.int64)
+                pos = np.searchsorted(iw_sorted, q).clip(
+                    0, iw_sorted.size - 1)
+                return np.where(iw_sorted[pos] == q, order[pos] + 1, 0)
+
+            item_emb_idx = emb_rows_of(iid)
+        else:
+            item_emb_idx = np.asarray(
+                [row_of.get(str(i), 0) for i in iid.tolist()], np.int64)
         item_emb = emb_mat[item_emb_idx]
-        if hasattr(rec_sys, "get_user_behavior"):
+
+        bulk = getattr(rec_sys, "get_user_behaviors_bulk", None)
+        if bulk is not None and int_words is not None:
+            beh_items = bulk(ctx, uid, ts, USER_BEHAVIOR_LEN)   # [n, L]
+            beh_idx = np.where(beh_items >= 0,
+                               emb_rows_of(beh_items.clip(0)), 0)
+            ub_flat = emb_mat[beh_idx].reshape(n, -1)
+        elif hasattr(rec_sys, "get_user_behavior"):
             beh_idx = np.zeros((n, USER_BEHAVIOR_LEN), np.int64)
             seq_cache: dict[tuple, list] = {}
-            for r, k in enumerate(keys):
-                ck = (k.user_id, k.timestamp)
+            uid_l, ts_l = uid.tolist(), ts.tolist()
+            for r in range(n):
+                ck = (uid_l[r], ts_l[r])
                 seq = seq_cache.get(ck)
                 if seq is None:
                     seq = rec_sys.get_user_behavior(
-                        ctx, k.user_id, USER_BEHAVIOR_LEN, -1, k.timestamp)
+                        ctx, uid_l[r], USER_BEHAVIOR_LEN, -1, ts_l[r])
                     seq_cache[ck] = seq
                 for j, item_id in enumerate(seq[:USER_BEHAVIOR_LEN]):
                     beh_idx[r, j] = row_of.get(str(item_id), 0)
@@ -367,6 +432,18 @@ def BatchPredict(ctx: Context, predictor: Predictor,
     embeddings resolve through one indexed gather, and rows materialize via
     the native gather-concat kernel — replacing the reference's per-sample
     loop (rcmd.go:294-324)."""
+    uid = np.asarray([k.user_id for k in sample_keys], np.int64)
+    iid = np.asarray([k.item_id for k in sample_keys], np.int64)
+    ts = np.asarray([k.timestamp for k in sample_keys], np.int64)
+    return batch_predict_arrays(ctx, predictor, uid, iid, ts)
+
+
+def batch_predict_arrays(ctx: Context, predictor: Predictor,
+                         user_ids: np.ndarray, item_ids: np.ndarray,
+                         timestamps: np.ndarray) -> np.ndarray:
+    """BatchPredict over parallel id/ts columns — the array-native scoring
+    entry (no per-row Sample objects; at the reference's own ML-20M eval
+    protocol the test slice is 5.61M rows, dinimpl_test.go:55)."""
     ctx = ctx.with_stage(Stage.PREDICT)
     rec_sys = predictor.rec_sys
     if hasattr(rec_sys, "pre_rank"):
@@ -374,16 +451,18 @@ def BatchPredict(ctx: Context, predictor: Predictor,
 
     state = getattr(predictor, "_state", None) or _State()
     state.item_embedding_map = predictor.item_embedding_map
-    x = _assemble_batch(ctx, state, rec_sys, sample_keys)
+    uid = np.asarray(user_ids, np.int64)
+    iid = np.asarray(item_ids, np.int64)
+    ts = np.asarray(timestamps, np.int64)
+    x = _assemble_batch(ctx, state, rec_sys, uid, iid, ts)
     scores = np.asarray(predictor.model.predict(x)).ravel()
     if DEBUG_ITEM_ID > 0:
-        for i, k in enumerate(sample_keys):
-            if k.item_id == DEBUG_ITEM_ID and \
-                    DEBUG_USER_ID in (0, -1, k.user_id):
-                log.info("user %d: item %d: feature %s", k.user_id,
-                         k.item_id, x[i].tolist())
-                log.info("user %d: item %d: score %s", k.user_id,
-                         k.item_id, scores[i])
+        for i in np.flatnonzero(iid == DEBUG_ITEM_ID).tolist():
+            if DEBUG_USER_ID in (0, -1, int(uid[i])):
+                log.info("user %d: item %d: feature %s", uid[i],
+                         iid[i], x[i].tolist())
+                log.info("user %d: item %d: score %s", uid[i],
+                         iid[i], scores[i])
     return scores
 
 
@@ -421,18 +500,19 @@ def _fetch_features_unique(ctx, state: _State, rec_sys, ids: list[int],
 
 
 def _assemble_batch(ctx: Context, state: _State, rec_sys,
-                    keys: list[Sample]) -> np.ndarray:
+                    uid: np.ndarray, iid: np.ndarray,
+                    ts: np.ndarray) -> np.ndarray:
     users = _fetch_features_unique(
-        ctx, state, rec_sys, list({k.user_id for k in keys}), "user")
+        ctx, state, rec_sys, np.unique(uid).tolist(), "user")
     items = _fetch_features_unique(
-        ctx, state, rec_sys, list({k.item_id for k in keys}), "item")
-    if keys and keys[0].user_id not in users:
-        raise KeyError(f"userId {keys[0].user_id} not found")
-    if keys and keys[0].item_id not in items:
-        raise KeyError(f"itemId {keys[0].item_id} not found")
+        ctx, state, rec_sys, np.unique(iid).tolist(), "item")
+    if uid.size and int(uid[0]) not in users:
+        raise KeyError(f"userId {uid[0]} not found")
+    if iid.size and int(iid[0]) not in items:
+        raise KeyError(f"itemId {iid[0]} not found")
     # rows with missing ids hit the zero row → reference zero-fill
     # semantics (rcmd.go:300-307)
-    return _assemble_rows(ctx, state, rec_sys, keys, users, items)
+    return _assemble_rows(ctx, state, rec_sys, uid, iid, ts, users, items)
 
 
 def Rank(ctx: Context, predictor: Predictor, user_id: int,

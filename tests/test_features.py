@@ -187,3 +187,28 @@ def test_ubcache_padded_export():
     row2 = items[list(uids).index(2)]
     np.testing.assert_array_equal(row2, [90, -1])
     assert sorted(lens.tolist()) == [1, 2]
+
+
+def test_ubcache_bulk_get_matches_per_row(rng):
+    """bulk_get (vectorized composite-key searchsorted) must reproduce the
+    per-row Get/Filter semantics exactly: ts<=max_ts, newest-first, length
+    cap, max_ts=0 = no filter, unknown users = all-pad."""
+    from goctr_tpu.features.ubcache import UserBehaviorCache
+
+    ubc = UserBehaviorCache()
+    for uid in range(1, 40):
+        k = int(rng.integers(1, 30))
+        ts = np.sort(rng.integers(100, 10_000, k))[::-1]
+        items = rng.integers(1, 1000, k)
+        ubc.set(uid, ts, items)
+    n, L = 2000, 7
+    uids = rng.integers(0, 45, n)          # includes unknown users
+    mts = rng.integers(0, 11_000, n)
+    mts[rng.random(n) < 0.1] = 0
+    out = ubc.bulk_get(uids, mts, L)
+    for i in range(n):
+        seq = ubc.get(int(uids[i]), max_ts=int(mts[i]), count=L)
+        want = np.full(L, -1, np.int64)
+        if seq is not None:
+            want[:seq.items.size] = seq.items
+        np.testing.assert_array_equal(out[i], want)
