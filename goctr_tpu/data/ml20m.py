@@ -65,6 +65,22 @@ class SignalKnobs:
     # s≥1 would make the top movie 3-15% of traffic — nothing like the
     # real catalogue. (s must be != 1 for the closed-form inverse CDF.)
     zipf_s: float = 0.55
+    # --- item-level taste chaining: the attention-shaped signal ----------
+    # Movies carry unit latent taste vectors (genre anchor + idiosyncratic);
+    # with prob p_chain a user's next movie is a random walk step among the
+    # previous movie's K nearest latent neighbors, and the rating earns
+    # beta_item * max_{i<=chain_w} cos(v_prev_i, v_cand). A candidate-
+    # specific MAX-similarity against recent behaviors is what DIN's cosine
+    # attention computes natively and a flat MLP can only approximate with
+    # bilinear features — the structural reason DIN > MLP on the real data
+    # (genre-level drift alone is flat-learnable: measured MLP 0.782 >
+    # DIN 0.751 before this signal existed).
+    p_chain: float = 0.35
+    beta_item: float = 0.9
+    chain_k: int = 20          # latent-NN fanout of the walk
+    chain_w: int = 5           # how many previous watches the bonus sees
+    latent_dim: int = 8
+    latent_genre_w: float = 0.8  # genre anchor weight in the latent mix
     act_mu: float = 4.35       # user activity lognormal (ML-20M mean ≈ 144)
     act_sigma: float = 0.95
 
@@ -118,7 +134,8 @@ def generate_ml20m_fixture(path: str | Path, scale: float = 1.0,
                            seed: int = 7, train_frac: float = 0.8,
                            knobs: SignalKnobs | None = None,
                            oversample: float = 1.25,
-                           verbose: bool = False) -> dict:
+                           verbose: bool = False,
+                           debug_signals: str | None = None) -> dict:
     """Generate the scaled fixture; returns summary stats. scale=1.0 is the
     full ML-20M shape (users/movies/ratings all scale together so per-user
     and per-movie count distributions stay invariant — what the feature
@@ -170,6 +187,21 @@ def generate_ml20m_fixture(path: str | Path, scale: float = 1.0,
         pools[g, :members.size] = members
     say(f"movies: {n_movies} (max pool {max_pool})")
 
+    # latent taste vectors + K-NN neighbor lists (the chain-walk graph)
+    anchors = rng.normal(0, 1, (G, k.latent_dim))
+    v_lat = (k.latent_genre_w * anchors[primary]
+             + rng.normal(0, 0.6, (n_movies, k.latent_dim)))
+    v_lat /= np.linalg.norm(v_lat, axis=1, keepdims=True)
+    K = min(k.chain_k, n_movies - 1)
+    nbrs = np.empty((n_movies, K), np.int64)
+    chunk = max(1, int(2e8 / max(n_movies, 1)))       # ~200M sims per block
+    for s in range(0, n_movies, chunk):
+        e = min(s + chunk, n_movies)
+        sims = v_lat[s:e] @ v_lat.T
+        sims[np.arange(e - s), np.arange(s, e)] = -np.inf
+        nbrs[s:e] = np.argpartition(sims, -K, axis=1)[:, -K:]
+    say(f"latent K-NN graph built (K={K})")
+
     # ---- users ----------------------------------------------------------
     counts = np.exp(rng.normal(k.act_mu, k.act_sigma, n_users))
     counts = np.clip(counts, 20, 6000)
@@ -207,7 +239,7 @@ def generate_ml20m_fixture(path: str | Path, scale: float = 1.0,
     interest = _fill_forward(pref_g[user_of, slot], fresh)
     say("interest chain done")
 
-    # movie choice
+    # movie choice: independent draws (interest-genre pool or global zipf)
     follow = rng.random(n) < k.p_follow
     plen = pool_len[interest]
     r_pool = _bounded_zipf(rng, n, np.maximum(plen, 1), k.zipf_s)
@@ -215,7 +247,22 @@ def generate_ml20m_fixture(path: str | Path, scale: float = 1.0,
     r_glob = _bounded_zipf(rng, n, n_movies, k.zipf_s)
     m_glob = movie_of_rank[r_glob]
     movie = np.where(follow & (plen > 0), m_follow, m_glob)
-    say("movie choice done")
+
+    # chain walk: positions with chain=True replace their draw with a
+    # random latent-NN step from the previous position's movie. Chains are
+    # sequential by nature; vectorize by resolving depth-by-depth (depth =
+    # distance to the last independent draw; geometric, so max depth is
+    # small even at 20M rows).
+    chain = (rng.random(n) < k.p_chain) & ~block_start
+    step_pick = rng.integers(0, K, n)
+    nonchain_pos = np.where(~chain, np.arange(n), -1)
+    np.maximum.accumulate(nonchain_pos, out=nonchain_pos)
+    depth = np.arange(n) - nonchain_pos
+    max_depth = int(depth.max()) if n else 0
+    for d in range(1, max_depth + 1):
+        at = np.flatnonzero(depth == d)
+        movie[at] = nbrs[movie[at - 1], step_pick[at]]
+    say(f"movie choice done (chain max depth {max_depth})")
 
     # dedup (u, m): keep first occurrence, preserve order
     key = user_of.astype(np.int64) * n_movies + movie
@@ -224,7 +271,12 @@ def generate_ml20m_fixture(path: str | Path, scale: float = 1.0,
     keep[first_idx] = True
     say(f"dedup: dropped {n - keep.sum()} duplicate (u,m) pairs")
 
-    # rating
+    user_of, movie, ts, interest = (a[keep] for a in
+                                    (user_of, movie, ts, interest))
+    n = user_of.shape[0]
+
+    # rating — computed on the KEPT rows so the max-similarity bonus sees
+    # exactly the watch history the model's behavior sequence will see
     m_static = np.where(primary[movie] == pref_g[user_of, 0],
                         pref_w[user_of, 0],
                         np.where(primary[movie] == pref_g[user_of, 1],
@@ -232,15 +284,28 @@ def generate_ml20m_fixture(path: str | Path, scale: float = 1.0,
                                  np.where(primary[movie] == pref_g[user_of, 2],
                                           pref_w[user_of, 2], 0.0)))
     m_recent = (primary[movie] == interest).astype(np.float64)
+    # max cosine similarity of the candidate vs the previous chain_w
+    # watches of the same user (the attention-shaped signal)
+    vm = v_lat[movie]
+    maxsim = np.full(n, -1.0)
+    for i in range(1, k.chain_w + 1):
+        sim_i = np.full(n, -1.0)
+        same_user = user_of[i:] == user_of[:-i]   # blocks are contiguous
+        sim_i[i:] = np.where(same_user,
+                             np.einsum("ij,ij->i", vm[i:], vm[:-i]), -1.0)
+        np.maximum(maxsim, sim_i, out=maxsim)
+    m_item = np.clip(maxsim, 0.0, 1.0)
     rstar = (k.mu0 + b_u[user_of] + quality[movie]
              + k.alpha * (m_static - m_static.mean())
              + k.beta * (m_recent - m_recent.mean())
+             + k.beta_item * (m_item - m_item.mean())
              + rng.normal(0, k.noise, n))
     rating = np.clip(np.round(rstar * 2.0) / 2.0, 0.5, 5.0)
-
-    user_of, movie, rating, ts = (a[keep] for a in
-                                  (user_of, movie, rating, ts))
-    n = user_of.shape[0]
+    if debug_signals is not None:
+        np.savez(debug_signals, user=user_of + 1, movie=movie + 1, ts=ts,
+                 rating=rating, m_item=m_item, m_static=m_static,
+                 m_recent=m_recent, quality=quality[movie],
+                 b_u=b_u[user_of])
     say(f"ratings: {n}, mean {rating.mean():.3f}, "
         f"P(>3.5) {(rating > 3.5).mean():.3f}")
 

@@ -84,6 +84,9 @@ def main() -> None:
     scale = float(_arg("scale", "1.0"))
     verbose = "--quiet" not in sys.argv
     knobs_kw = _knob_overrides()
+    ftypes = {f.name: f.type for f in dataclasses.fields(SignalKnobs)}
+    knobs_kw = {k: (int(v) if ftypes.get(k) == "int" else v)
+                for k, v in knobs_kw.items()}
     knobs = SignalKnobs(**knobs_kw) if knobs_kw else SignalKnobs()
     cache_dir = Path(_arg("cache_dir", "/root/ml20m_cache"))
     cache_dir.mkdir(parents=True, exist_ok=True)
@@ -174,7 +177,12 @@ def main() -> None:
             lr=float(_arg("lr", "1e-3")),
             l2=1e-5 if name == "mlp" else 1e-4,   # main.go:42-47 / model.go:88
             store_dtype="float16", seed=int(_arg("seed", "0")))
-        fitter = RankerFitter(name, trainer_config=cfg, use_bf16=True)
+        mkw = {}
+        if name != "mlp" and _arg("seq_act", ""):
+            # A/B knob: reference DIN/YT towers are sigmoid (din.go:307-315);
+            # --seq_act=relu tries the modern activation on the same topology
+            mkw["activation"] = _arg("seq_act", "")
+        fitter = RankerFitter(name, trainer_config=cfg, use_bf16=True, **mkw)
         t0 = time.perf_counter()
         ranker = fitter.fit(sample)
         dt = time.perf_counter() - t0
