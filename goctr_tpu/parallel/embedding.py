@@ -50,15 +50,19 @@ def init_table(key: jax.Array, spec: EmbeddingSpec, mesh: Mesh,
 
 
 def _local_gather(local_rows: jax.Array, ids: jax.Array,
-                  n_shards: int) -> jax.Array:
+                  n_shards: int, width: int = 0) -> jax.Array:
     """Gather ids from this shard's row range, zeros elsewhere; combine with
-    psum over the model axis. Runs inside shard_map."""
+    psum over the model axis. Runs inside shard_map. width > 0 lane-slices
+    packed rows BEFORE the psum (so a [V/m, 128] packed table moves only
+    [.., width] over ICI)."""
     per_shard = local_rows.shape[0]
     shard = jax.lax.axis_index(MODEL_AXIS)
     local_ids = ids - shard * per_shard
     valid = (local_ids >= 0) & (local_ids < per_shard)
     safe = jnp.clip(local_ids, 0, per_shard - 1)
     emb = jnp.take(local_rows, safe, axis=0)
+    if width:
+        emb = emb[..., :width]
     emb = jnp.where(valid[..., None], emb, 0.0)
     return jax.lax.psum(emb, MODEL_AXIS)
 
@@ -89,8 +93,14 @@ def _dedup_flat(flat: jax.Array, cap: int):
 
 
 def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
-                   dedup_cap: int = 0, with_overflow: bool = False):
+                   dedup_cap: int = 0, with_overflow: bool = False,
+                   width: int = 0):
     """ids [B, ...] int32 → embeddings [B, ..., D], batch-sharded over data.
+
+    width > 0: the table rows are PACKED (e.g. [V, 128] w|acc|pad from the
+    fused row-optimizer layout) and only the first `width` lanes are the
+    embedding — they are sliced out before any psum so ICI traffic is
+    [., width], not [., 128].
 
     Negative ids (padding) return zero vectors. On a 1×1 mesh this is a
     plain gather — no shard_map (which some single-chip PJRT backends,
@@ -114,10 +124,13 @@ def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
     """
     if _single_device(mesh):
         emb = jnp.take(table, jnp.maximum(ids, 0), axis=0)
+        if width:
+            emb = emb[..., :width]
         out = jnp.where(ids[..., None] < 0, 0.0, emb)
         return (out, jnp.int32(0)) if with_overflow else out
 
     n_shards = mesh.shape[MODEL_AXIS]
+    out_dim = width or table.shape[1]
 
     @partial(jax.shard_map, mesh=mesh,
              in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS)),
@@ -127,21 +140,22 @@ def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
         if not dedup_cap:
             neg = local_ids < 0
             out = _local_gather(local_rows, jnp.maximum(local_ids, 0),
-                                n_shards)
+                                n_shards, width)
             return (jnp.where(neg[..., None], 0.0, out),
                     jnp.zeros((), jnp.int32))
 
         flat = local_ids.reshape(-1)
         cap = min(dedup_cap, flat.shape[0])
         uniq, inv, n_unique = _dedup_flat(flat, cap)
-        emb_u = _local_gather(local_rows, jnp.maximum(uniq, 0), n_shards)
-        emb_u = jnp.where(uniq[:, None] < 0, 0.0, emb_u)   # [cap, D]
+        emb_u = _local_gather(local_rows, jnp.maximum(uniq, 0), n_shards,
+                              width)
+        emb_u = jnp.where(uniq[:, None] < 0, 0.0, emb_u)   # [cap, out_dim]
         out = jnp.take(emb_u, jnp.clip(inv, 0, cap - 1), axis=0)
         # ids are replicated over model, so n_unique already agrees across
         # model shards; summing over data gives the global dropped count
         over = jax.lax.psum(
             jnp.maximum(n_unique - cap, 0).astype(jnp.int32), DATA_AXIS)
-        return out.reshape(local_ids.shape + (local_rows.shape[1],)), over
+        return out.reshape(local_ids.shape + (out_dim,)), over
 
     out, over = run(table, ids)
     return (out, over) if with_overflow else out

@@ -125,6 +125,8 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
     psh = param_shardings(params, mesh)
     params = jax.device_put(params, psh)
     sparse = table_opt is not None
+    packed = sparse and table_opt.update_mode in ("fused", "runfused",
+                                                  "fused2")
     acc = None
     if sparse:
         from goctr_tpu.parallel.train import make_sharded_sparse_train_step
@@ -133,6 +135,16 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
         acc = jax.device_put(
             jnp.zeros((params["item_table"].shape[0],), jnp.float32),
             NamedSharding(mesh, P("model")))
+        if packed:
+            # packed [V_pad, 128] (w | acc | pad) local-table layout: the
+            # forward gather lane-slices (sharded_lookup width=D) and the
+            # Pallas RMW kernel updates weights + adagrad acc in one pass
+            if model.emb_dim >= 128:
+                raise ValueError("packed update modes require emb_dim < 128")
+            from goctr_tpu.ops.pallas.row_optimizer import pack_table
+            params["item_table"] = jax.device_put(
+                pack_table(params["item_table"]),
+                NamedSharding(mesh, P("model", None)))
         step = make_sharded_sparse_train_step(model, solver, mesh, table_opt)
     else:
         opt_state = solver.init(params)
@@ -188,6 +200,14 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
         if cfg.early_stop and no_improve >= cfg.early_stop:
             break
 
+    if packed:
+        # export the standard layout: [V_pad, D] table + [V_pad] adagrad
+        # accumulator (predict and checkpoints see no packing)
+        from goctr_tpu.ops.pallas.row_optimizer import unpack_table
+        w, acc_lane = unpack_table(params["item_table"], model.emb_dim)
+        params = dict(params, item_table=jax.device_put(
+            w, NamedSharding(mesh, P("model", None))))
+        acc = jax.device_put(acc_lane, NamedSharding(mesh, P("model")))
     return TrainedSparseRanker(model=model, params=params, mesh=mesh,
                                loss_curve=loss_curve,
                                epoch_times=epoch_times, opt_state=opt_state,

@@ -47,8 +47,12 @@ class TableOptConfig:
                      the non-fused scatters to a sequential per-row loop
                      (~4M row-updates/s regardless of promises,
                      BENCH_NOTES.md) — ``fused`` is the fast path.
-    The multi-chip sharded step (make_sharded_sparse_train_step) always
-    dedups globally (exact adagrad) and ignores update_mode.
+    The multi-chip sharded step (make_sharded_sparse_train_step) honors
+    update_mode: packed modes (fused/runfused/fused2 — equivalent there,
+    since rows arrive already deduplicated) run the Pallas RMW kernel on
+    packed [V/m, 128] local tables; other modes use unique-promise
+    scatters. Either way the exchange is dedup'd per data shard BEFORE the
+    all_gather (exchange_cap) and merged exactly across shards.
     """
     kind: str = "adagrad"       # adagrad | sgd
     lr: float = 0.01
@@ -67,3 +71,16 @@ class TableOptConfig:
     # (13.5 GB/s); "xla" = lax.gather with (1, D) partial-row slices
     # (0.2 GB/s — defeats XLA's fast row-gather path; kept as A/B record)
     gather_impl: str = "take"   # take | pallas | xla
+    # ---- multi-chip sharded update (make_sharded_sparse_train_step) ----
+    # per-data-shard unique-row budget for the update exchange: each data
+    # shard dedups its row gradients locally (scatter-free run sums) and
+    # all_gathers only <=exchange_cap (id, run-sum) rows instead of its full
+    # raw [n_local, D] gradient stream. 0 = n_local (exact for any batch,
+    # no traffic cut). Uniques beyond the cap are DROPPED from the update
+    # (the step reports them in its overflow counter — grow the cap if it
+    # is ever nonzero). Rounded up to the Pallas grid multiple internally.
+    exchange_cap: int = 0
+    # force Pallas interpret mode in the packed update kernels (CI exercise
+    # of the kernel path on non-TPU backends, e.g. under shard_map on the
+    # virtual mesh; never set on real TPU runs)
+    pallas_interpret: bool = False
