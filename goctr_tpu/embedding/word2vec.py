@@ -1,14 +1,30 @@
-"""item2vec / word2vec: batched skip-gram & CBOW on device.
+"""item2vec / word2vec: device-generated corpus-block training.
 
 Re-architecture of the reference engine
 (/root/reference/feature/embedding/model/word2vec/): where the reference runs
 Hogwild goroutines doing per-word axpy updates with a sigmoid lookup table
-(word2vec.go:151-221, optimizer.go:52-129, sigmoid_table.go), this builds the
-epoch's (center, context) examples vectorized on host, then trains in one
-jitted lax.scan of minibatches with **closed-form SGNS/HS gradients applied as
-scatter-adds** into donated [V, D] tables — no dense [V, D] gradient is ever
-materialized, so HBM traffic per step is O(batch · dim), the TPU equivalent of
-the reference's lock-free sparse writes (and deterministic, unlike Hogwild).
+(word2vec.go:151-221, optimizer.go:52-129, sigmoid_table.go), here the FLAT
+CORPUS ships to the device once and each iteration is ONE jitted dispatch
+that does everything on device: the subsample mask, the kept-word compaction
+(one argsort), per-center window-shrink radii, context-window expansion, and
+the SGNS/HS updates — no per-iteration host example generation and no
+per-iteration h2d (the r3 design re-sent a 292 MB pair stream every
+iteration, which the axon relay serializes with device compute —
+BENCH_NOTES r3; words/s was host-bound at 255k against the reference's
+555k/s CPU figure).
+
+The update uses a CORPUS-BLOCK layout instead of a flat (center, context)
+pair list: a block of Bp consecutive kept centers is expanded to its
+[Bp, 2w] context matrix, logits come from one MXU einsum
+z[b,w,·] = v[b,w,:] · u[b,·,:], and each center's Huffman-path nodes (HS) /
+sampled negatives (NS) receive ONE summed row update across the center's
+2w contexts — ~2w× fewer scatter rows than per-pair updates on the output
+table, which is where the epoch's device wall was (small-table scatters run
+~93M rows/s, BENCH_NOTES r3). Gradients are applied as plain masked
+scatter-adds into donated [V, D] tables — no dense [V, D] gradient is ever
+materialized, and batched duplicate-row collisions are bounded by the
+static expectation scales (_static_row_scales), the deterministic
+equivalent of the reference's lock-free Hogwild races.
 
 Supported, mirroring options.go:38-104: SkipGram | CBOW × NegativeSampling |
 HierarchicalSoftmax, window shrink, frequency subsampling, min_count
@@ -53,10 +69,9 @@ class Word2VecOptions:
     seed: int = 0
     verbose: bool = False
     table_size: int = 1 << 20
-    # overlap host window-expansion of iter i+1 with the device scan of
-    # iter i (a worker thread that also starts the h2d copy). False =
-    # fully serial host→device iterations — needed on backends where
-    # multi-threaded dispatch is unreliable (the axon relay).
+    # r3 knob for overlapping host example generation with device compute.
+    # Obsolete since the r4 device-generation epoch (there is no per-iter
+    # host work left to overlap); kept for option-surface compatibility.
     overlap: bool = True
 
     def __post_init__(self):
@@ -96,9 +111,11 @@ class Word2Vec:
         keep = self.dictionary.keep_probs(o.subsample_threshold)
         total_words = int(sum(len(d) for d in encoded))
         flat_docs = [d[valid[d]] for d in encoded]   # drop rare words
-        # corpus layout is static across iterations: flatten ONCE
+        # corpus layout is static across iterations: flatten + ship ONCE
         flat_all, doc_id = self._flatten_corpus(flat_docs)
         words_per_iter = int(flat_all.size)
+        d_flat, d_doc = self._device_corpus(flat_all, doc_id)
+        d_keep = jnp.asarray(keep.astype(np.float32))
 
         w_in = jnp.asarray(self.w_in)
         w_out = jnp.asarray(self.w_out)
@@ -106,66 +123,29 @@ class Word2Vec:
         row_scales = self._static_row_scales(counts)
         step_fn = self._make_epoch_fn()
 
-        # Host window-expansion for iteration i+1 overlaps the device scan
-        # of iteration i (VERDICT r2 #6: the two stages serialized —
-        # per-iteration wall was host + device, not max(host, device)).
-        # One ordered worker thread keeps the rng stream sequential =
-        # deterministic; device_put inside _batchify starts the h2d copy
-        # early too.
-        from concurrent.futures import ThreadPoolExecutor
-
-        def produce():
-            centers, ctx = self._gen_examples(flat_all, doc_id, keep, rng)
-            if centers.size == 0:
-                return None, 0
-            return self._batchify(centers, ctx, rng), int(centers.size)
-
-        class _Serial:
-            """overlap=False: produce inline on the main thread."""
-
-            def submit(self, fn):
-                class R:
-                    def __init__(self):
-                        self._v = fn()
-
-                    def result(self):
-                        return self._v
-                return R()
-
-            def __enter__(self):
-                return self
-
-            def __exit__(self, *a):
-                return False
-
         words_done = 0
         total_train_words = max(total_words * o.iters, 1)
-        pool_cm = (ThreadPoolExecutor(max_workers=1) if o.overlap
-                   else _Serial())
-        with pool_cm as pool:
-            fut = pool.submit(produce)
-            for it in range(o.iters):
-                te = time.perf_counter()
-                batches, n_ex = fut.result()
-                if it + 1 < o.iters:
-                    fut = pool.submit(produce)
-                if n_ex == 0:
-                    continue
-                lr_start = max(o.min_lr, o.init_lr *
-                               (1 - words_done / total_train_words))
-                words_done += words_per_iter
-                lr_end = max(o.min_lr, o.init_lr *
-                             (1 - words_done / total_train_words))
-                w_in, w_out = step_fn(
-                    w_in, w_out, *device_tables, *row_scales, *batches,
-                    jnp.float32(lr_start), jnp.float32(lr_end),
-                    jax.random.key(o.seed * 1000 + it))
-                self.words_trained += n_ex
-                if o.verbose:
-                    jax.block_until_ready(w_in)
-                    log.info("iter %d: %d examples in %.2fs (%.0f/s)", it,
-                             n_ex, time.perf_counter() - te,
-                             n_ex / max(time.perf_counter() - te, 1e-9))
+        pair_counts = []
+        for it in range(o.iters):
+            te = time.perf_counter()
+            lr_start = max(o.min_lr, o.init_lr *
+                           (1 - words_done / total_train_words))
+            words_done += words_per_iter
+            lr_end = max(o.min_lr, o.init_lr *
+                         (1 - words_done / total_train_words))
+            w_in, w_out, n_pairs = step_fn(
+                w_in, w_out, *device_tables, *row_scales, d_flat, d_doc,
+                d_keep, jnp.float32(lr_start), jnp.float32(lr_end),
+                jax.random.key(o.seed * 1000 + it))
+            pair_counts.append(n_pairs)
+            if o.verbose:
+                n_ex = int(n_pairs)             # device sync: honest timing
+                log.info("iter %d: %d examples in %.2fs (%.0f/s)", it,
+                         n_ex, time.perf_counter() - te,
+                         n_ex / max(time.perf_counter() - te, 1e-9))
+        if pair_counts:
+            self.words_trained += int(np.sum(
+                [int(c) for c in pair_counts]))
         self.w_in = np.asarray(w_in)
         self.w_out = np.asarray(w_out)
         return self
@@ -203,6 +183,7 @@ class Word2Vec:
         rng = np.random.default_rng(o.seed)
         self._init_state(counts, rng)
         keep = d.keep_probs(o.subsample_threshold)
+        d_keep = jnp.asarray(keep.astype(np.float32))
 
         w_in = jnp.asarray(self.w_in)
         w_out = jnp.asarray(self.w_out)
@@ -221,21 +202,27 @@ class Word2Vec:
             chunk_idx = 0
 
             def flush(w_in, w_out, words_done, chunk_idx):
-                centers, ctx = self._gen_examples(
-                    *self._flatten_corpus(chunk), keep, rng)
+                flat_c, doc_c = self._flatten_corpus(chunk)
                 lr_start = max(o.min_lr, o.init_lr *
                                (1 - words_done / total_train_words))
                 words_done += sum(len(c) for c in chunk)
                 lr_end = max(o.min_lr, o.init_lr *
                              (1 - words_done / total_train_words))
-                if centers.size:
+                if flat_c.size:
                     key = iter_key if chunk_idx == 0 else \
                         jax.random.fold_in(iter_key, chunk_idx)
-                    w_in, w_out = step_fn(
+                    # a corpus that fits ONE chunk pads exactly like
+                    # train() (bit-identical streams); mid-stream chunks
+                    # bucket to a power of two so every full chunk reuses
+                    # one compiled epoch
+                    single = chunk_idx == 0 and len(chunk) < batch_docs
+                    d_flat, d_doc = self._device_corpus(
+                        flat_c, doc_c, bucket=not single)
+                    w_in, w_out, n_pairs = step_fn(
                         w_in, w_out, *device_tables, *row_scales,
-                        *self._batchify(centers, ctx, rng),
+                        d_flat, d_doc, d_keep,
                         jnp.float32(lr_start), jnp.float32(lr_end), key)
-                    self.words_trained += centers.size
+                    self.words_trained += int(n_pairs)
                 return w_in, w_out, words_done, chunk_idx + 1
 
             with open(path) as f:
@@ -282,80 +269,33 @@ class Word2Vec:
                            [d.size for d in docs])
         return flat, doc_id
 
-    def _gen_examples(self, flat_all: np.ndarray, doc_id_all: np.ndarray,
-                      keep: np.ndarray, rng: np.random.Generator):
-        """Vectorized window expansion with per-center window shrink and
-        subsampling (model.go:59-66 semantics). Returns (centers [N],
-        ctx [N] for skipgram | ctx [N, 2w] −1-padded for cbow).
-
-        Fully vectorized: one subsample mask over the flat corpus (the r2
-        version looped Python-side over every doc) and, for skip-gram,
-        per-offset pair lists instead of materializing + nonzero-scanning
-        an [n, 2w] context matrix."""
+    def _block_positions(self) -> int:
+        """Centers per corpus block: keeps update rows per block near the
+        old pairs-per-batch budget (batch_size), so the collision-cap
+        expectations and VMEM working set stay comparable."""
         o = self.opts
-        if flat_all.size == 0:
-            return np.zeros(0, np.int32), np.zeros(0, np.int32)
-        m = rng.random(flat_all.size) < keep[flat_all]
-        fk = flat_all[m]
-        dk = doc_id_all[m]
-        n = fk.size
-        if n < 2:
-            return np.zeros(0, np.int32), np.zeros(0, np.int32)
-        radius = rng.integers(1, o.window + 1, n)
+        return max(o.batch_size // (2 * o.window), 64)
 
-        if o.model == "cbow":
-            ctx = np.full((n, 2 * o.window), -1, dtype=np.int32)
-            col = 0
-            for off in range(-o.window, o.window + 1):
-                if off == 0:
-                    continue
-                src = np.arange(n) + off
-                ok = (src >= 0) & (src < n) & (radius >= abs(off))
-                srcc = np.clip(src, 0, n - 1)
-                ok &= dk[srcc] == dk
-                ctx[ok, col] = fk[srcc][ok]
-                col += 1
-            has_ctx = (ctx >= 0).any(axis=1)
-            return fk[has_ctx], ctx[has_ctx]
-
-        # skip-gram: emit (center, context) pairs per offset directly
-        centers_parts, ctx_parts = [], []
-        idx = np.arange(n)
-        for off in range(-o.window, o.window + 1):
-            if off == 0:
-                continue
-            src = idx + off
-            ok = (src >= 0) & (src < n) & (radius >= abs(off))
-            srcc = np.clip(src, 0, n - 1)
-            ok &= dk[srcc] == dk
-            centers_parts.append(fk[ok])
-            ctx_parts.append(fk[srcc[ok]])
-        return (np.concatenate(centers_parts),
-                np.concatenate(ctx_parts))
-
-    def _batchify(self, centers: np.ndarray, ctx: np.ndarray,
-                  rng: np.random.Generator):
-        o = self.opts
-        n = centers.shape[0]
-        perm = rng.permutation(n)
-        centers, ctx = centers[perm], ctx[perm]
-        bs = o.batch_size
-        n_batches = -(-n // bs)
-        # bucket batch count to the next power of two: epoch shapes then
-        # repeat across iterations/corpora, so the jitted epoch compiles
-        # once (compiles via the remote-compile relay cost minutes; padded
-        # batches are masked no-ops)
-        bucket = 1
-        while bucket < n_batches:
-            bucket *= 2
-        n_batches = bucket
-        pad = n_batches * bs - n
+    def _device_corpus(self, flat: np.ndarray, doc_id: np.ndarray,
+                       bucket: bool = False):
+        """Pad the flat corpus to a block multiple (-1 = no word) and ship
+        it. bucket=True additionally rounds the length up to the next
+        power of two so streaming chunks of varying size reuse one compiled
+        epoch (compiles through the remote relay cost minutes)."""
+        bp = self._block_positions()
+        n = flat.size
+        target = -(-max(n, 1) // bp) * bp
+        if bucket:
+            b = bp
+            while b < target:
+                b *= 2
+            target = b
+        pad = target - n
         if pad:
-            centers = np.concatenate([centers, np.full(pad, -1, np.int32)])
-            ctx = np.concatenate(
-                [ctx, np.full((pad,) + ctx.shape[1:], -1, np.int32)])
-        return (jnp.asarray(centers.reshape(n_batches, bs)),
-                jnp.asarray(ctx.reshape((n_batches, bs) + ctx.shape[1:])))
+            flat = np.concatenate([flat, np.full(pad, -1, np.int32)])
+            doc_id = np.concatenate(
+                [doc_id, np.full(pad, -1, np.int32)])
+        return jnp.asarray(flat), jnp.asarray(doc_id)
 
     def _device_tables(self):
         o = self.opts
@@ -401,118 +341,149 @@ class Word2Vec:
 
     # ------------------------------------------------------- jitted epoch --
     def _make_epoch_fn(self):
+        """One iteration = ONE jitted dispatch over the device-resident
+        corpus: subsample mask → kept-word compaction (one argsort) →
+        per-center radii → lax.scan over corpus blocks. Per block the
+        [bp, 2w] context matrix comes from contiguous gathers of the
+        compacted corpus, logits are MXU einsums, and each center's output
+        rows (Huffman path nodes / sampled negatives) receive ONE summed
+        update across the center's contexts — ~2w× fewer output-table
+        scatter rows than a per-pair layout (the device wall: small-table
+        scatters run ~93M rows/s, BENCH_NOTES r3).
+
+        Collision control: a row hit N times in one block gets N summed
+        updates (the reference's sequential Hogwild applies them one at a
+        time, word2vec.go:198-221); the accumulated per-row step is capped
+        at `cap` examples' worth via the STATIC expectation scales
+        (_static_row_scales). All table writes are PLAIN masked .at[].add
+        scatters — at item2vec vocabs XLA vectorizes them; -1 ids
+        contribute nothing. NS note: negatives are drawn per CENTER and
+        shared by its ≤2w contexts (the reference draws per pair) — same
+        objective in expectation, verified by the neighbor-purity gates.
+
+        Returns (w_in, w_out, n_pairs_trained)."""
         o = self.opts
         is_hs = o.optimizer == "hs"
         is_cbow = o.model == "cbow"
         neg_k = o.negative
+        W = o.window
+        bp = self._block_positions()
+        offs_np = np.asarray([off for off in range(-W, W + 1) if off != 0],
+                             np.int32)
 
-        @partial(jax.jit, donate_argnums=(0, 1), static_argnames=())
+        @partial(jax.jit, donate_argnums=(0, 1))
         def epoch(w_in, w_out, tab_a, tab_b, scale_in, scale_out,
-                  centers_b, ctx_b, lr_start, lr_end, key):
-            n_batches = centers_b.shape[0]
+                  flat, doc_id, keep, lr_start, lr_end, key):
+            n = flat.shape[0]
+            n_blocks = n // bp
+            k_sub, k_rad = jax.random.split(key)
+            word_ok = flat >= 0
+            m = word_ok & (jax.random.uniform(k_sub, (n,)) <
+                           jnp.take(keep, jnp.maximum(flat, 0)))
+            pos = jnp.arange(n, dtype=jnp.int32)
+            # stable compaction: kept words first, original order preserved
+            ordr = jnp.argsort(jnp.where(m, pos, n + pos))
+            n_kept = jnp.sum(m.astype(jnp.int32))
+            live = pos < n_kept
+            fk = jnp.where(live, jnp.take(flat, ordr), -1)
+            dk = jnp.where(live, jnp.take(doc_id, ordr), -2)
+            radius = jax.random.randint(k_rad, (n,), 1, W + 1)
+            offs_d = jnp.asarray(offs_np)
+            abs_offs = jnp.abs(offs_d)
+            dim = w_in.shape[1]
 
-            def body(carry, args):
+            def scatter_rows(tab, ids, rows):
+                mm = (ids >= 0).astype(jnp.float32)
+                return tab.at[jnp.maximum(ids, 0)].add(rows * mm[:, None])
+
+            def body(carry, b):
                 w_in, w_out = carry
-                b, centers, ctx = args
-                frac = b.astype(jnp.float32) / jnp.maximum(n_batches - 1, 1)
+                i0 = b * bp
+                centers = jax.lax.dynamic_slice(fk, (i0,), (bp,))
+                dctr = jax.lax.dynamic_slice(dk, (i0,), (bp,))
+                rad = jax.lax.dynamic_slice(radius, (i0,), (bp,))
+                idx = (i0 + jnp.arange(bp, dtype=jnp.int32)[:, None]
+                       + offs_d[None, :])
+                inb = (idx >= 0) & (idx < n)
+                idxc = jnp.clip(idx, 0, n - 1)
+                cx = jnp.take(fk, idxc)                     # [bp, 2W]
+                dcx = jnp.take(dk, idxc)
+                valid = (inb & (centers[:, None] >= 0) & (cx >= 0)
+                         & (dcx == dctr[:, None])
+                         & (rad[:, None] >= abs_offs[None, :]))
+                vmask = valid.astype(jnp.float32)
+                frac = b.astype(jnp.float32) / jnp.maximum(n_blocks - 1, 1)
                 lr = lr_start + (lr_end - lr_start) * frac
-                cmask = (centers >= 0).astype(jnp.float32)
                 c_safe = jnp.maximum(centers, 0)
+                cx_safe = jnp.maximum(cx, 0)
 
+                vs = jnp.take(w_in, cx_safe, axis=0)        # [bp, 2W, D]
                 if is_cbow:
-                    # input vector = mean of context vectors; "center" is target
-                    ctx_safe = jnp.maximum(ctx, 0)
-                    ctx_m = (ctx >= 0).astype(jnp.float32)
-                    vs = jnp.take(w_in, ctx_safe, axis=0)          # [B,2w,D]
-                    denom = jnp.maximum(ctx_m.sum(1, keepdims=True), 1.0)
-                    v = (vs * ctx_m[..., None]).sum(1) / denom     # [B,D]
-                    targets = c_safe
-                    t_mask = cmask
+                    # input = mean of context vectors; target = center
+                    denom = jnp.maximum(vmask.sum(1, keepdims=True), 1.0)
+                    has = ((vmask.sum(1) > 0) & (centers >= 0))
+                    t_mask = has.astype(jnp.float32)
+                    v_eff = ((vs * vmask[..., None]).sum(1)
+                             / denom)[:, None, :]           # [bp, 1, D]
+                    wmask = t_mask[:, None]                 # [bp, 1]
                 else:
-                    v = jnp.take(w_in, jnp.maximum(ctx, 0), axis=0)  # [B,D]
-                    # skip-gram convention (model.go:48-78): the *context*
-                    # word's input vector is trained against the center target
-                    targets = c_safe
-                    t_mask = cmask * (ctx >= 0).astype(jnp.float32)
+                    # skip-gram convention (model.go:48-78): each context
+                    # word's input vector trains against the center target
+                    v_eff = vs                              # [bp, 2W, D]
+                    wmask = vmask
 
-                # Batched SGD collision control: a row hit N times in one
-                # batch gets N summed updates (the reference's sequential
-                # Hogwild processes one at a time, word2vec.go:198-221, so
-                # its lr is per-example). Sum is exactly per-example SGD
-                # when collisions ≈ 1 (any realistic vocab); to stay stable
-                # when vocab ≪ batch, the accumulated per-row step is
-                # capped at `cap` examples' worth via the STATIC
-                # expectation-based scales (_static_row_scales) — r2's
-                # realized-count version cost two extra 1M-row scatter
-                # passes per batch (half the epoch device wall).
-
-                # all table writes are PLAIN masked .at[].add scatters:
-                # at item2vec vocabs (10k-100k) the table is small enough
-                # that XLA vectorizes the scatter — measured 93.3M rows/s
-                # vs 27.7M for the sort+dedup front-end at V=10k, n=1.1M
-                # (BENCH_NOTES r3; the serial-scatter wall only exists for
-                # multi-GB tables). The r3 dedup'd variant additionally
-                # made the 809-batch epoch dispatch long enough to crash
-                # the relay worker. Duplicate ids sum natively — identical
-                # math, fp order aside; -1 ids contribute nothing.
-                def scatter_rows(tab, ids, rows):
-                    m = (ids >= 0).astype(jnp.float32)
-                    return tab.at[jnp.maximum(ids, 0)].add(
-                        rows * m[:, None])
-
-                dim = w_in.shape[1]
                 if is_hs:
-                    paths = jnp.take(tab_a, targets, axis=0)       # [B,P]
-                    codes = jnp.take(tab_b, targets, axis=0)       # [B,P]
-                    pmask = (paths >= 0).astype(jnp.float32) * t_mask[:, None]
+                    paths = jnp.take(tab_a, c_safe, axis=0)      # [bp, P]
+                    codes = jnp.take(tab_b, c_safe, axis=0)
+                    pmask = ((paths >= 0).astype(jnp.float32)
+                             * (centers >= 0).astype(jnp.float32)[:, None])
                     p_safe = jnp.maximum(paths, 0)
-                    u = jnp.take(w_out, p_safe, axis=0)            # [B,P,D]
-                    z = jnp.einsum("bd,bpd->bp", v, u)
+                    u = jnp.take(w_out, p_safe, axis=0)          # [bp, P, D]
+                    z = jnp.einsum("bwd,bpd->bwp", v_eff, u)
                     f = jax.nn.sigmoid(z)
-                    g = (1.0 - codes - f) * pmask * lr             # [B,P]
-                    dv = jnp.einsum("bp,bpd->bd", g, u)
-                    gs = g * jnp.take(scale_out, p_safe)
+                    g = ((1.0 - codes[:, None, :] - f)
+                         * wmask[:, :, None] * pmask[:, None, :] * lr)
+                    dv = jnp.einsum("bwp,bpd->bwd", g, u)
+                    du = jnp.einsum("bwp,bwd->bpd", g, v_eff)
+                    gs_out = jnp.take(scale_out, p_safe)         # [bp, P]
                     w_out = scatter_rows(
                         w_out, jnp.where(pmask > 0, p_safe, -1).reshape(-1),
-                        (gs[..., None] * v[:, None, :]).reshape(-1, dim))
+                        (du * gs_out[..., None]).reshape(-1, dim))
                 else:
                     kkey = jax.random.fold_in(key, b)
-                    negs = jnp.take(
-                        tab_a,
-                        jax.random.randint(kkey, (centers.shape[0], neg_k),
-                                           0, tab_a.shape[0]))     # [B,K]
-                    ids = jnp.concatenate([targets[:, None], negs], 1)
+                    negs = jnp.take(tab_a, jax.random.randint(
+                        kkey, (bp, neg_k), 0, tab_a.shape[0]))   # [bp, K]
+                    ids = jnp.concatenate([c_safe[:, None], negs], 1)
                     labels = jnp.concatenate(
-                        [jnp.ones_like(targets[:, None], jnp.float32),
-                         jnp.zeros_like(negs, jnp.float32)], 1)
-                    u = jnp.take(w_out, ids, axis=0)               # [B,K+1,D]
-                    z = jnp.einsum("bd,bkd->bk", v, u)
-                    g = (labels - jax.nn.sigmoid(z)) * t_mask[:, None] * lr
-                    dv = jnp.einsum("bk,bkd->bd", g, u)
-                    gs = g * jnp.take(scale_out, ids)
+                        [jnp.ones((bp, 1), jnp.float32),
+                         jnp.zeros((bp, neg_k), jnp.float32)], 1)
+                    kmask = (centers >= 0).astype(jnp.float32)[:, None]
+                    u = jnp.take(w_out, ids, axis=0)          # [bp, K+1, D]
+                    z = jnp.einsum("bwd,bkd->bwk", v_eff, u)
+                    g = ((labels[:, None, :] - jax.nn.sigmoid(z))
+                         * wmask[:, :, None] * kmask[:, None, :] * lr)
+                    dv = jnp.einsum("bwk,bkd->bwd", g, u)
+                    du = jnp.einsum("bwk,bwd->bkd", g, v_eff)
+                    gs_out = jnp.take(scale_out, ids)
                     w_out = scatter_rows(
-                        w_out, ids.reshape(-1),
-                        (gs[..., None] * v[:, None, :]).reshape(-1, dim))
+                        w_out, jnp.where(kmask > 0, ids, -1).reshape(-1),
+                        (du * gs_out[..., None]).reshape(-1, dim))
 
+                sc_in = jnp.take(scale_in, cx_safe)              # [bp, 2W]
                 if is_cbow:
-                    sc = jnp.take(scale_in, ctx_safe)
-                    upd = ((dv / denom)[:, None, :]
-                           * (ctx_m * sc)[..., None])
-                    w_in = scatter_rows(
-                        w_in, jnp.where(ctx_m > 0, ctx_safe, -1).reshape(-1),
-                        upd.reshape(-1, dim))
+                    upd = ((dv[:, 0, :] / denom)[:, None, :]
+                           * (vmask * sc_in)[..., None])
                 else:
-                    in_ids = jnp.maximum(ctx, 0)
-                    sc = jnp.take(scale_in, in_ids)
-                    w_in = scatter_rows(
-                        w_in, jnp.where(t_mask > 0, in_ids, -1),
-                        dv * (t_mask * sc)[:, None])
-                return (w_in, w_out), None
+                    upd = dv * (vmask * sc_in)[..., None]
+                w_in = scatter_rows(
+                    w_in, jnp.where(valid, cx_safe, -1).reshape(-1),
+                    upd.reshape(-1, dim))
+                n_ex = jnp.sum((wmask > 0).astype(jnp.int32))
+                return (w_in, w_out), n_ex
 
-            (w_in, w_out), _ = jax.lax.scan(
-                body, (w_in, w_out),
-                (jnp.arange(n_batches), centers_b, ctx_b))
-            return w_in, w_out
+            (w_in, w_out), counts = jax.lax.scan(
+                body, (w_in, w_out), jnp.arange(n_blocks))
+            return w_in, w_out, jnp.sum(counts)
 
         return epoch
 

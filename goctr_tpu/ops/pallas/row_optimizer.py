@@ -40,6 +40,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -453,6 +454,259 @@ def _apply_csum_updates_jnp(table_packed, s_ids, c_rows, lr, kind, eps,
         new = cur - jnp.asarray(lr, jnp.float32) * (rows_p * m_w)
     new = jnp.where(real[:, None], new, cur)
     return table_packed.at[safe].set(new, mode="drop")
+
+
+# --------------------------------------------------------- grouped lines ---
+# BASELINE config #5 is a 100M-row × dim-16 table: the one-row-per-128-lane
+# layout above would spend 51 GB for a nominal 6.4 GB of weights. The
+# grouped layout packs G = 128 // (D+1) (w | acc) row-groups per line
+# (D=16 → G=7, 7.3 GB at 100M rows; D=64 → G=1, identical to the classic
+# layout). Updates arrive as line-aligned lane-placed sums (the caller
+# accumulates row duplicates AND same-line rows — see
+# parallel/scanned.py's grouped fused branch), and the kernel applies
+# per-group adagrad by spreading each group's accumulator lane across its
+# weight lanes with one (1,128)x(128,128) MXU matmul per line.
+
+def group_size(d: int) -> int:
+    """Rows per 128-lane line in the grouped fused layout."""
+    return max(1, LANES // (d + 1))
+
+
+def make_spread(d: int) -> jax.Array:
+    """[128, 128] f32: spread[i, j] = 1 iff i is the accumulator lane of
+    the group that owns weight lane j — (acc_vals @ spread)[j] = that
+    group's accumulator, 0 on non-weight lanes."""
+    g = group_size(d)
+    stride = d + 1
+    m = np.zeros((LANES, LANES), np.float32)
+    for grp in range(g):
+        m[grp * stride + d, grp * stride:grp * stride + d] = 1.0
+    return jnp.asarray(m)
+
+
+def packed_lines(vocab: int, d: int) -> int:
+    return -(-vocab // group_size(d))
+
+
+def pack_table_grouped(weights: jax.Array, acc: jax.Array | None = None
+                       ) -> jax.Array:
+    """[V, D] (+ [V] acc) → [ceil(V/G), 128] grouped lines."""
+    v, d = weights.shape
+    g = group_size(d)
+    if g == 1:
+        return pack_table(weights, acc)
+    if acc is None:
+        acc = jnp.zeros((v,), jnp.float32)
+    lines = packed_lines(v, d)
+    pad = lines * g - v
+    if pad:
+        weights = jnp.concatenate(
+            [weights, jnp.zeros((pad, d), weights.dtype)])
+        acc = jnp.concatenate([acc, jnp.zeros((pad,), acc.dtype)])
+    arr = jnp.concatenate(
+        [weights.reshape(lines, g, d).astype(jnp.float32),
+         acc.reshape(lines, g, 1).astype(jnp.float32)], axis=2)
+    flat = arr.reshape(lines, g * (d + 1))
+    out = jnp.zeros((lines, LANES), jnp.float32)
+    return out.at[:, :g * (d + 1)].set(flat)
+
+
+def unpack_table_grouped(table_lines: jax.Array, vocab: int, d: int):
+    """grouped [L, 128] → ([vocab, D] weights, [vocab] acc)."""
+    g = group_size(d)
+    if g == 1:
+        w, acc = unpack_table(table_lines, d)
+        return w[:vocab], acc[:vocab]
+    lines = table_lines.shape[0]
+    arr = table_lines[:, :g * (d + 1)].reshape(lines, g, d + 1)
+    w = arr[:, :, :d].reshape(lines * g, d)[:vocab]
+    acc = arr[:, :, d].reshape(lines * g)[:vocab]
+    return w, acc
+
+
+def init_packed_table_grouped(key: jax.Array, vocab: int, d: int,
+                              scale: float = 0.01) -> jax.Array:
+    """Fresh grouped table without materializing the [V, D] intermediate
+    (at 100M x 16 that transient would double peak HBM during packing)."""
+    g = group_size(d)
+    lines = packed_lines(vocab, d)
+    stride = d + 1
+    lane = jnp.arange(LANES)
+    within = lane < g * stride
+    is_w = within & ((lane % stride) < d)
+    noise = jax.random.normal(key, (lines, LANES), jnp.float32) * scale
+    tbl = jnp.where(is_w[None, :], noise, 0.0)
+    # zero the tail rows past the vocab (pad groups in the last line)
+    if lines * g > vocab:
+        grp_of_lane = jnp.minimum(lane // stride, g - 1)
+        last_row = (lines - 1) * g + grp_of_lane
+        tail_ok = (last_row < vocab) | ~within
+        tbl = tbl.at[lines - 1].set(
+            jnp.where(tail_ok, tbl[lines - 1], 0.0))
+    return tbl
+
+
+def _gline_kernel(ids_ref, lr_ref, g_ref, spread_ref, tin_ref, tout_ref,
+                  rbuf, wbuf, r_sems, w_sems, *, d: int, kind: str,
+                  eps: float, n_rows: int, skip_ge: int):
+    """Grouped-line RMW: like _kernel but each 128-lane line carries G
+    (w | acc) groups; g_ref rows arrive lane-placed and line-accumulated
+    (w-lane gradient sums + acc-lane ||.||^2 per touched group); adagrad
+    scales spread per group via one MXU matmul."""
+    g = group_size(d)
+    stride = d + 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    within = lane < g * stride
+    m_w = (within & (lane % stride < d)).astype(jnp.float32)
+    m_acc = (within & (lane % stride == d)).astype(jnp.float32)
+    lr = lr_ref[0, 0]
+
+    def is_real(j):
+        return ids_ref[j] < skip_ge
+
+    def read_dma(j):
+        slot = j % RING
+        return pltpu.make_async_copy(
+            tin_ref.at[pl.ds(ids_ref[j], 1)], rbuf.at[slot], r_sems.at[slot])
+
+    def write_dma(j):
+        slot = j % RING
+        return pltpu.make_async_copy(
+            wbuf.at[slot], tout_ref.at[pl.ds(ids_ref[j], 1)],
+            w_sems.at[slot])
+
+    def warm(t, carry):
+        @pl.when(is_real(t))
+        def _():
+            read_dma(t).start()
+        return carry
+
+    jax.lax.fori_loop(0, min(RING, n_rows), warm, 0)
+
+    def body(j, outstanding):
+        slot = j % RING
+        bit = jax.lax.shift_left(jnp.int32(1), slot)
+        real = is_real(j)
+
+        @pl.when(real)
+        def _compute():
+            @pl.when((outstanding & bit) != 0)
+            def _wait_prev_write():
+                write_dma(j).wait()
+
+            read_dma(j).wait()
+            r = rbuf[slot]                       # (1, 128) line
+            gp = g_ref[pl.ds(j, 1), :]           # (1, 128) lane-placed sums
+            if kind == "adagrad":
+                r_acc = r + gp * m_acc
+                spread_acc = jnp.dot(
+                    r_acc * m_acc, spread_ref[...],
+                    preferred_element_type=jnp.float32)   # (1, 128)
+                scale = lr * jax.lax.rsqrt(spread_acc + eps)
+                wbuf[slot] = r_acc - scale * (gp * m_w)
+            else:
+                wbuf[slot] = r - lr * (gp * m_w)
+            write_dma(j).start()
+
+        @pl.when((j + RING < n_rows) & is_real(j + RING))
+        def _start_next_read():
+            read_dma(j + RING).start()
+
+        return jnp.where(real, outstanding | bit, outstanding)
+
+    outstanding = jax.lax.fori_loop(0, n_rows, body, jnp.int32(0))
+
+    def drain(slot, carry):
+        bit = jax.lax.shift_left(jnp.int32(1), slot)
+
+        @pl.when((carry & bit) != 0)
+        def _():
+            pltpu.make_async_copy(
+                wbuf.at[slot], tout_ref.at[pl.ds(0, 1)],
+                w_sems.at[slot]).wait()
+        return carry
+
+    jax.lax.fori_loop(0, min(RING, n_rows), drain, outstanding)
+
+
+def apply_line_updates(table_lines, line_ids, line_updates, lr, d: int,
+                       kind: str = "adagrad", eps: float = 1e-8,
+                       skip_ge: int | None = None,
+                       interpret: bool = False) -> jax.Array:
+    """Grouped-line fused optimizer.
+
+    table_lines [L, 128] (pack_table_grouped layout); line_ids [n] int32
+    PAIRWISE DISTINCT (same-line updates pre-accumulated by the caller);
+    line_updates [n, 128] lane-placed accumulated updates (w lanes carry
+    gradient sums, each group's acc lane carries its ||sum||^2). Lines with
+    id >= skip_ge (default L) are skipped at the DMA level / dropped by the
+    fallback — junk ids may point past the table. n must be a multiple of
+    ROWS_PER_STEP."""
+    if skip_ge is None:
+        skip_ge = table_lines.shape[0]
+    if not 0 < d < LANES:
+        raise ValueError(f"grouped optimizer requires 0 < d < {LANES}")
+    spread = make_spread(d)
+    if not interpret and jax.default_backend() != "tpu":
+        return _apply_line_updates_jnp(table_lines, line_ids, line_updates,
+                                       spread, lr, kind, eps, d, skip_ge)
+    n = line_ids.shape[0]
+    r = min(ROWS_PER_STEP, n)
+    if n % r:
+        raise ValueError(f"n={n} must be a multiple of {r}")
+    return pl.pallas_call(
+        functools.partial(_gline_kernel, d=d, kind=kind, eps=eps, n_rows=r,
+                          skip_ge=skip_ge),
+        grid=(n // r,),
+        in_specs=[
+            pl.BlockSpec((r,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((r, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # table in (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(table_lines.shape, jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((RING, 1, LANES), jnp.float32),
+            pltpu.VMEM((RING, 1, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((RING,)),
+            pltpu.SemaphoreType.DMA((RING,)),
+        ],
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(line_ids, jnp.asarray(lr, jnp.float32).reshape(1, 1), line_updates,
+      spread, table_lines)
+
+
+def _apply_line_updates_jnp(table_lines, line_ids, line_updates, spread,
+                            lr, kind, eps, d: int, skip_ge: int):
+    """Fallback: identical per-group math via one unique-row scatter;
+    out-of-bounds / junk line ids are dropped."""
+    g = group_size(d)
+    stride = d + 1
+    lane = jnp.arange(LANES)
+    within = lane < g * stride
+    m_w = (within & (lane % stride < d)).astype(jnp.float32)
+    m_acc = (within & (lane % stride == d)).astype(jnp.float32)
+    read_ids = jnp.minimum(line_ids, table_lines.shape[0] - 1)
+    r = jnp.take(table_lines, read_ids, axis=0)
+    if kind == "adagrad":
+        r_acc = r + line_updates * m_acc
+        spread_acc = (r_acc * m_acc) @ spread
+        scale = jnp.asarray(lr, jnp.float32) * jax.lax.rsqrt(
+            spread_acc + eps)
+        new = r_acc - scale * (line_updates * m_w)
+    else:
+        new = r - jnp.asarray(lr, jnp.float32) * (line_updates * m_w)
+    new = jnp.where((line_ids < skip_ge)[:, None], new, r)
+    return table_lines.at[line_ids].set(new, mode="drop",
+                                        unique_indices=True)
 
 
 def pack_grads(g: jax.Array) -> jax.Array:

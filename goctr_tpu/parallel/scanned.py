@@ -235,14 +235,47 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
     tgt, rows = segment_rows_dedup(ids_flat, g_flat, V, pad_to=n_to)
 
     if topt.update_mode == "fused":
-        # table is PACKED [V_alloc, 128] (w | acc | pad); one Pallas RMW
-        # pass applies both the weight step and the adagrad accumulator
+        from goctr_tpu.ops.pallas.row_optimizer import group_size
+        D = rows.shape[1]
+        G = group_size(D)
+        if G == 1:
+            # table is PACKED [V, 128] (w | acc | pad); one Pallas RMW
+            # pass applies both the weight step and the adagrad accumulator
+            from goctr_tpu.ops.pallas.row_optimizer import (
+                apply_row_updates, pack_grads)
+            table = apply_row_updates(table, tgt, pack_grads(rows),
+                                      lr=topt.lr, d=D,
+                                      kind=topt.kind, eps=topt.eps,
+                                      skip_ge=V)
+            return table, acc
+        # grouped lines (D small, e.g. BASELINE #5's 100M x 16): distinct
+        # row targets may share a 128-lane line, so lane-place each row's
+        # (sum | ||sum||^2) into its group slot, accumulate same-line
+        # rows with a second scatter-free run-sum pass over LINE ids, and
+        # RMW once per unique line (ops/pallas/row_optimizer.py grouped
+        # kernel; per-group adagrad via the MXU spread matmul).
         from goctr_tpu.ops.pallas.row_optimizer import (
-            apply_row_updates, pack_grads)
-        table = apply_row_updates(table, tgt, pack_grads(rows),
-                                  lr=topt.lr, d=rows.shape[1],
-                                  kind=topt.kind, eps=topt.eps,
-                                  skip_ge=V)
+            LANES, apply_line_updates, packed_lines)
+        from goctr_tpu.ops.segsum import sorted_run_sums
+        L = packed_lines(V, D)
+        n = tgt.shape[0]
+        real = tgt < V
+        nsq = jnp.sum(rows * rows, axis=1, keepdims=True)
+        oh = (jax.nn.one_hot(tgt % G, G, dtype=jnp.float32)
+              * real[:, None])                              # [n, G]
+        block = oh[:, :, None] * jnp.concatenate(
+            [rows, nsq], axis=1)[:, None, :]                # [n, G, D+1]
+        upd = jnp.zeros((n, LANES), jnp.float32)
+        upd = upd.at[:, :G * (D + 1)].set(block.reshape(n, G * (D + 1)))
+        pos = jnp.arange(n, dtype=jnp.int32)
+        lkey = jnp.where(real, (tgt // G).astype(jnp.int32), L + pos)
+        order = jnp.argsort(lkey)
+        ltgt, lrows = sorted_run_sums(
+            jnp.take(lkey, order), jnp.take(upd, order, axis=0),
+            junk_base=L + n + 1)
+        table = apply_line_updates(table, ltgt.astype(jnp.int32), lrows,
+                                   lr=topt.lr, d=D, kind=topt.kind,
+                                   eps=topt.eps, skip_ge=L)
         return table, acc
 
     in_bounds = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
@@ -329,16 +362,28 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
         raise ValueError(f"update_mode={topt.update_mode!r} requires "
                          "emb_dim < 128 (weights+acc pack into one "
                          "128-lane row)")
+    from goctr_tpu.ops.pallas.row_optimizer import group_size
+    # grouped lines: `fused` at small D packs G = 128//(D+1) rows per
+    # 128-lane line (BASELINE #5: 100M x 16 → 7.3 GB instead of 51 GB)
+    G = group_size(D) if topt.update_mode == "fused" else 1
     v_alloc = V + (table_pad_rows(bs, T)
                    if topt.update_mode == "dedup" else 0)
-    if table.shape[0] < v_alloc:
+    if topt.update_mode == "dedup" and table.shape[0] < v_alloc:
         table = jnp.concatenate(
             [table, jnp.zeros((v_alloc - table.shape[0], D), jnp.float32)])
         acc = jnp.concatenate(
             [acc, jnp.zeros((v_alloc - acc.shape[0],), jnp.float32)])
     if fused:
-        from goctr_tpu.ops.pallas.row_optimizer import pack_table
-        table = pack_table(table, acc)        # [V_alloc, 128]: w | acc | pad
+        if G > 1:
+            # NOTE: packing transiently holds [V, D] + [L, 128] (13.7 GB
+            # at 100M x 16). If that ever RESOURCE_EXHAUSTs, switch the
+            # fresh-init case to row_optimizer.init_packed_table_grouped
+            # (builds the line layout directly, different RNG stream).
+            from goctr_tpu.ops.pallas.row_optimizer import pack_table_grouped
+            table = pack_table_grouped(table, acc)
+        else:
+            from goctr_tpu.ops.pallas.row_optimizer import pack_table
+            table = pack_table(table, acc)    # [V, 128]: w | acc | pad
         acc = jnp.zeros((0,), jnp.float32)    # lives inside the packed table
 
     schedule = make_schedule(cfg.lr_schedule, cfg.lr, cfg.power_t)
@@ -397,6 +442,17 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
             def rows_of(ids):
                 if not fused:
                     return jnp.take(table, ids, axis=0).astype(cd)
+                if G > 1:
+                    # grouped lines: gather the full 128-lane line, then
+                    # select the id's group slot with a tiny one-hot
+                    # contraction (vectorized; a lane-offset gather would
+                    # hit the 0.2 GB/s partial-row path, BENCH_NOTES r3)
+                    lines = jnp.take(table, ids // G, axis=0)
+                    l3 = lines[..., :G * (D + 1)].reshape(
+                        ids.shape + (G, D + 1))
+                    oh = jax.nn.one_hot(ids % G, G, dtype=jnp.float32)
+                    emb = jnp.einsum("...g,...gd->...d", oh, l3)
+                    return emb[..., :D].astype(cd)
                 if topt.gather_impl == "take":
                     return jnp.take(table, ids, axis=0)[..., :D].astype(cd)
                 if topt.gather_impl == "pallas":
@@ -476,8 +532,13 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
     if resume_from is not None:
         loss_curve = resume_from.loss_curve + loss_curve
     if fused:
-        from goctr_tpu.ops.pallas.row_optimizer import unpack_table
-        table, acc = unpack_table(table, D)   # external artifact: unpacked
+        if G > 1:
+            from goctr_tpu.ops.pallas.row_optimizer import (
+                unpack_table_grouped)
+            table, acc = unpack_table_grouped(table, V, D)
+        else:
+            from goctr_tpu.ops.pallas.row_optimizer import unpack_table
+            table, acc = unpack_table(table, D)   # external artifact
     return TrainedScanned(model=model, dense_params=dense_params, table=table,
                           loss_curve=loss_curve, epoch_times=epoch_times,
                           opt_state=opt_state, acc=acc)

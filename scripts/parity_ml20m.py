@@ -168,11 +168,15 @@ def main() -> None:
 
     models = _arg("models", "mlp,youtube,din").split(",")
     epochs = int(_arg("epochs", "30"))
+    # per-model budgets are part of the reference protocol: its MLP trains
+    # MaxIter=20 sweeps (main.go:48) while DIN/YT-DNN get epochs=200 with
+    # earlyStop=20 (dinimpl_test.go:40-42)
+    mlp_epochs = int(_arg("mlp_epochs", str(epochs)))
     bs = int(_arg("batch", "16384"))
     auc_out, gauc_out, rate_out = {}, {}, {}
     for name in models:
         cfg = TrainerConfig(
-            batch_size=bs, epochs=epochs,
+            batch_size=bs, epochs=mlp_epochs if name == "mlp" else epochs,
             early_stop=int(_arg("early_stop", "4")),
             lr=float(_arg("lr", "1e-3")),
             l2=1e-5 if name == "mlp" else 1e-4,   # main.go:42-47 / model.go:88

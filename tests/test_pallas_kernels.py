@@ -371,3 +371,48 @@ def test_fused2_cumsum_diff_cancellation_at_bench_scale(rng):
            / np.maximum(np.abs(want[single]).max(axis=1), 1e-12))
     assert np.quantile(rel, 0.999) < 1e-2, (
         f"singleton-run relative error q99.9 = {np.quantile(rel, 0.999)}")
+
+
+@pytest.mark.parametrize("kind", ["adagrad", "sgd"])
+def test_grouped_line_optimizer_interpret_matches_fallback(rng, kind):
+    """Grouped-line fused optimizer (apply_line_updates, interpret): G
+    (w|acc) groups per 128-lane line, per-group adagrad spread via the MXU
+    matmul, junk line ids (>= skip_ge, possibly past the table) skipped at
+    the DMA level — must match the jnp fallback exactly."""
+    from goctr_tpu.ops.pallas.row_optimizer import (
+        ROWS_PER_STEP, apply_line_updates, group_size, make_spread,
+        pack_table_grouped, unpack_table_grouped)
+
+    d, vocab = 16, 12000      # lines (1715) > n so real ids stay distinct
+    g = group_size(d)
+    assert g == 7
+    lines = -(-vocab // g)
+    n = ROWS_PER_STEP
+    w0 = rng.normal(0, 1, (vocab, d)).astype(np.float32)
+    acc0 = rng.random(vocab).astype(np.float32) * 0.1
+    tp = pack_table_grouped(jnp.asarray(w0), jnp.asarray(acc0))
+    assert tp.shape == (lines, 128)
+
+    # ~60% junk, distinct real line ids, lane-placed updates
+    is_junk = rng.random(n) < 0.6
+    pos = np.arange(n)
+    real_lines = rng.permutation(lines)[:n]
+    lid = np.where(is_junk, lines + 1 + pos, real_lines[:n]).astype(np.int32)
+    upd = np.zeros((n, 128), np.float32)
+    gw = g * (d + 1)
+    upd[:, :gw] = rng.normal(0, 0.3, (n, gw))
+    upd[is_junk] = 0.0
+
+    got = apply_line_updates(tp, jnp.asarray(lid), jnp.asarray(upd),
+                             lr=0.25, d=d, kind=kind, skip_ge=lines,
+                             interpret=True)
+    from goctr_tpu.ops.pallas.row_optimizer import _apply_line_updates_jnp
+    want = _apply_line_updates_jnp(tp, jnp.asarray(lid), jnp.asarray(upd),
+                                   make_spread(d), 0.25, kind, 1e-8, d,
+                                   lines)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+    # round-trip layout sanity
+    w1, a1 = unpack_table_grouped(tp, vocab, d)
+    np.testing.assert_array_equal(np.asarray(w1), w0)
+    np.testing.assert_array_equal(np.asarray(a1), acc0)
