@@ -134,12 +134,17 @@ def train_ranker(model: RankModel, sample: TrainSample,
 
     sdt = np.dtype(cfg.store_dtype) if cfg.store_dtype != "bfloat16" \
         else jnp.bfloat16
-    x = jnp.asarray(np.ascontiguousarray(sample.x, dtype=np.float32)
-                    .astype(sdt, copy=False))
-    y = jnp.asarray(np.ascontiguousarray(sample.y, dtype=np.float32).ravel())
-    if n_pad > n:   # mask-padded tail (weight 0)
-        x = jnp.concatenate([x, jnp.zeros((n_pad - n, width), x.dtype)])
-        y = jnp.concatenate([y, jnp.zeros((n_pad - n,), jnp.float32)])
+    xh = np.ascontiguousarray(sample.x, dtype=np.float32).astype(
+        sdt, copy=False)
+    yh = np.ascontiguousarray(sample.y, dtype=np.float32).ravel()
+    if n_pad > n:   # mask-padded tail (weight 0) — padded on HOST: a
+        # device-side concatenate transiently doubles the dataset's HBM
+        # (16.2 GB at the ML-20M protocol's 14.4M x 281 matrix — OOM'd)
+        xh = np.concatenate([xh, np.zeros((n_pad - n, width), xh.dtype)])
+        yh = np.concatenate([yh, np.zeros((n_pad - n,), np.float32)])
+    x = jnp.asarray(xh)
+    y = jnp.asarray(yh)
+    del xh, yh
     w = jnp.concatenate([jnp.ones((n,), jnp.float32),
                          jnp.zeros((n_pad - n,), jnp.float32)])
 

@@ -113,6 +113,22 @@ def main() -> None:
             print(f"[parity +{time.perf_counter() - t_start:7.1f}s] {msg}",
                   file=sys.stderr, flush=True)
 
+    # assembled-matrix cache: the pre-stage (pre_train + item2vec +
+    # assembly) is deterministic given (db, sample_cnt, test_cnt) — cache
+    # it on disk so OOM-retry / multi-config runs skip ~18 min of rebuild
+    xcache = Path(f"{db}.x_{sample_cnt}_{test_cnt}.npz")
+    if xcache.exists() and "--no-xcache" not in sys.argv:
+        from goctr_tpu.models.base import SampleInfo, TrainSample
+        z = np.load(xcache)
+        sample = TrainSample(x=z["x"], y=z["y"], info=SampleInfo(
+            *[tuple(int(v) for v in r) for r in z["info"]]))
+        x_test = z["x_test"].astype(np.float32)
+        te_y, te_uid = z["te_y"], z["te_uid"]
+        say(f"loaded cached matrices {sample.x.shape} / {x_test.shape}")
+        run_models(sample, x_test, te_y, te_uid, timings, say, t_start,
+                   scale, knobs)
+        return
+
     # ---- PreTrain: rating aggregates + train ub-cache (feature.go:255-296)
     t0 = time.perf_counter()
     rec.pre_train(ctx)
@@ -158,6 +174,26 @@ def main() -> None:
     timings["test_assembly_s"] = round(time.perf_counter() - t0, 1)
     say(f"assembled {x_test.shape[0]} x {x_test.shape[1]} test matrix "
         f"(pos rate {te_y.mean():.3f})")
+    if "--no-xcache" not in sys.argv:
+        np.savez(xcache, x=sample.x.astype(np.float16), y=sample.y,
+                 info=np.asarray([sample.info.user_profile_range,
+                                  sample.info.user_behavior_range,
+                                  sample.info.item_feature_range,
+                                  sample.info.ctx_feature_range]),
+                 x_test=x_test.astype(np.float16), te_y=te_y, te_uid=te_uid)
+        say("cached assembled matrices")
+
+    run_models(sample, x_test, te_y, te_uid, timings, say, t_start, scale,
+               knobs)
+
+
+def run_models(sample, x_test, te_y, te_uid, timings, say, t_start, scale,
+               knobs) -> None:
+    import jax
+
+    from goctr_tpu.core.metrics import gauc_jit, roc_auc_jit
+    from goctr_tpu.models.trainer import TrainerConfig
+    from goctr_tpu.recommend.rcmd import RankerFitter
 
     # ---- train + eval the three reference models ------------------------
     import jax.numpy as jnp
