@@ -179,7 +179,15 @@ def main() -> None:
         TableOptConfig(kind="adagrad", lr=float(_arg("tlr", "2.0")),
                        update_mode=mode,
                        sorted_gather=sorted_gather,
-                       gather_impl=_arg("gather", "take")))
+                       gather_impl=_arg("gather", "take"),
+                       # fused front-end compaction (--compact=N): size
+                       # from measured batch uniqueness with margin; the
+                       # run asserts nothing overflowed
+                       compact_cap=int(_arg("compact", "0"))))
+    if ranker.update_overflow_max:
+        print(f"WARNING: compact_cap overflowed "
+              f"({ranker.update_overflow_max} rows dropped)",
+              file=sys.stderr)
 
     # first epoch includes jit compile; steady state = epochs 2..n
     steady = ranker.epoch_times[1:]

@@ -64,6 +64,10 @@ class TrainedScanned:
     epoch_times: list[float]
     opt_state: object = dataclasses.field(default=None, repr=False)
     acc: Optional[jax.Array] = dataclasses.field(default=None, repr=False)
+    # max per-batch count of unique rows dropped by the fused compaction
+    # cap (TableOptConfig.compact_cap); 0 = every batch fit — if ever
+    # nonzero, grow the cap (those rows lost their updates)
+    update_overflow_max: int = 0
 
     @property
     def params(self) -> dict:
@@ -124,9 +128,12 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
     """Apply one batch's row gradients to the table (+ adagrad accumulator).
     Invalid ids (< 0, i.e. behavior padding) contribute nothing. `V` is the
     true vocab; in dedup mode the physical table has table_pad_rows() extra
-    junk rows past V."""
+    junk rows past V. Returns (table, acc, overflow) where overflow counts
+    unique rows whose update was DROPPED by the fused compaction cap
+    (always 0 unless topt.compact_cap > 0 undersizes a batch)."""
     from goctr_tpu.ops.scatter import scatter_add_rows
 
+    no_over = jnp.zeros((), jnp.int32)
     valid = (ids_flat >= 0).astype(jnp.float32)
     g_flat = g_flat * valid[:, None]
 
@@ -140,7 +147,7 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
         else:
             scale = topt.lr * valid
         table = table.at[safe].add(-scale[:, None] * g_flat, mode="drop")
-        return table, acc
+        return table, acc, no_over
 
     if topt.update_mode == "sorted":
         order = jnp.argsort(ids_flat)
@@ -156,7 +163,7 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
             scale = jnp.full_like(s_ids, topt.lr, jnp.float32)
         table = scatter_add_rows(table, s_ids, -scale[:, None] * s_g,
                                  sorted_ids=True)
-        return table, acc
+        return table, acc, no_over
 
     if topt.update_mode == "fused2":
         # diff-mode: sort + ONE blockwise cumsum; the kernel recovers each
@@ -181,7 +188,7 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
         table = apply_csum_updates(table, s_ids, c, lr=topt.lr,
                                    d=g_flat.shape[1], kind=topt.kind,
                                    eps=topt.eps, skip_ge=V)
-        return table, acc
+        return table, acc, no_over
 
     if topt.update_mode == "runfused":
         # v2: sort with duplicates and feed the sorted-run fused kernel —
@@ -206,7 +213,7 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
         table = apply_run_updates(table, s_ids, s_rows, lr=topt.lr,
                                   d=s_rows.shape[1], kind=topt.kind,
                                   eps=topt.eps, skip_ge=V)
-        return table, acc
+        return table, acc, no_over
 
     if topt.update_mode not in ("dedup", "fused"):
         raise ValueError(f"unknown update_mode {topt.update_mode!r}")
@@ -229,10 +236,47 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
     # kernel's skip_ge gate skips junk targets pre-DMA and the jnp fallback
     # drops their writes, so junk ids may point past the table.
     from goctr_tpu.ops.pallas.row_optimizer import ROWS_PER_STEP
-    from goctr_tpu.ops.segsum import segment_rows_dedup
+    from goctr_tpu.ops.segsum import _cumsum_rows, segment_rows_dedup
     n0 = ids_flat.shape[0]
     n_to = -(-n0 // ROWS_PER_STEP) * ROWS_PER_STEP
-    tgt, rows = segment_rows_dedup(ids_flat, g_flat, V, pad_to=n_to)
+    overflow = no_over
+
+    if topt.update_mode == "fused" and topt.compact_cap:
+        # compacted front-end: instead of the position-aligned [n] stream
+        # (~83% junk slots at headline zipf traffic, each still costing the
+        # kernel a scalar-loop step + the pack a 128-lane row), one rank
+        # sort gathers the <=cap run-end positions and recovers each run's
+        # sum as the diff of consecutive selected cumsum rows (fused2
+        # math). The RMW kernel and grad pack then see cap slots, not n.
+        ids_clean = jnp.where(ids_flat >= 0, ids_flat, V)
+        if n_to > n0:
+            ids_clean = jnp.concatenate(
+                [ids_clean, jnp.full((n_to - n0,), V, ids_clean.dtype)])
+            g_flat = jnp.concatenate(
+                [g_flat,
+                 jnp.zeros((n_to - n0, g_flat.shape[1]), g_flat.dtype)])
+        D_ = g_flat.shape[1]
+        order = jnp.argsort(ids_clean)
+        s_ids = jnp.take(ids_clean, order)
+        c = _cumsum_rows(jnp.take(g_flat, order, axis=0))
+        is_end = jnp.concatenate([s_ids[1:] != s_ids[:-1],
+                                  jnp.ones((1,), bool)])
+        real_end = is_end & (s_ids < V)
+        pos = jnp.arange(n_to, dtype=jnp.int32)
+        capr = min(-(-topt.compact_cap // ROWS_PER_STEP) * ROWS_PER_STEP,
+                   n_to)
+        sel = jnp.argsort(jnp.where(real_end, pos, n_to + pos))[:capr]
+        sel_real = jnp.take(real_end, sel)
+        c_sel = jnp.take(c, sel, axis=0)
+        prev = jnp.concatenate(
+            [jnp.zeros((1, D_), c.dtype), c_sel[:-1]])
+        rows = jnp.where(sel_real[:, None], c_sel - prev, 0.0)
+        tgt = jnp.where(sel_real, jnp.take(s_ids, sel),
+                        V + 1 + pos[:capr]).astype(jnp.int32)
+        overflow = jnp.maximum(
+            jnp.sum(real_end.astype(jnp.int32)) - capr, 0)
+    else:
+        tgt, rows = segment_rows_dedup(ids_flat, g_flat, V, pad_to=n_to)
 
     if topt.update_mode == "fused":
         from goctr_tpu.ops.pallas.row_optimizer import group_size
@@ -247,7 +291,7 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
                                       lr=topt.lr, d=D,
                                       kind=topt.kind, eps=topt.eps,
                                       skip_ge=V)
-            return table, acc
+            return table, acc, overflow
         # grouped lines (D small, e.g. BASELINE #5's 100M x 16): distinct
         # row targets may share a 128-lane line, so lane-place each row's
         # (sum | ||sum||^2) into its group slot, accumulate same-line
@@ -276,7 +320,7 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
         table = apply_line_updates(table, ltgt.astype(jnp.int32), lrows,
                                    lr=topt.lr, d=D, kind=topt.kind,
                                    eps=topt.eps, skip_ge=L)
-        return table, acc
+        return table, acc, overflow
 
     in_bounds = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS
     if topt.kind == "adagrad":
@@ -291,7 +335,7 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
     table = jax.lax.scatter_add(
         table, tgt[:, None], -scale[:, None] * rows, _SCAT_DNUMS,
         unique_indices=True, mode=in_bounds)
-    return table, acc
+    return table, acc, no_over
 
 
 def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
@@ -499,24 +543,34 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
             ids_flat = jnp.concatenate([b_bids.reshape(-1), b_iids])
             g_flat = jnp.concatenate(
                 [g_b.reshape(-1, D), g_i]).astype(jnp.float32)
-            table, acc = _table_update(table, acc, ids_flat, g_flat, topt, V)
-            return (dense, opt_state, table, acc), loss
+            table, acc, over = _table_update(table, acc, ids_flat, g_flat,
+                                             topt, V)
+            return (dense, opt_state, table, acc), (loss, over)
 
-        (dense, opt_state, table, acc), losses = jax.lax.scan(
+        (dense, opt_state, table, acc), (losses, overs) = jax.lax.scan(
             body, (dense, opt_state, table, acc),
             (perm, jnp.arange(n_batches)))
-        return dense, opt_state, table, acc, jnp.mean(losses)
+        return dense, opt_state, table, acc, jnp.mean(losses), \
+            jnp.max(overs)
 
     best, no_improve = float("inf"), 0
+    update_overflow_max = 0
     loss_curve: list[float] = []
     epoch_times: list[float] = []
     for epoch in range(cfg.epochs):
         te = time.perf_counter()
         key, ekey = jax.random.split(key)
-        dense_params, opt_state, table, acc, cost = epoch_step(
+        dense_params, opt_state, table, acc, cost, over = epoch_step(
             dense_params, opt_state, table, acc,
             d_prof, d_bids, d_iids, d_ctx, d_y, d_w, ekey)
         cost = float(cost)                      # device sync: honest timing
+        over = int(over)
+        if over > update_overflow_max:
+            update_overflow_max = over
+            log.warning(
+                "fused compact_cap overflow: %d unique rows dropped in a "
+                "batch — raise TableOptConfig.compact_cap (currently %d)",
+                over, topt.compact_cap)
         epoch_times.append(time.perf_counter() - te)
         loss_curve.append(cost)
         if cfg.verbose:
@@ -541,7 +595,8 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
             table, acc = unpack_table(table, D)   # external artifact
     return TrainedScanned(model=model, dense_params=dense_params, table=table,
                           loss_curve=loss_curve, epoch_times=epoch_times,
-                          opt_state=opt_state, acc=acc)
+                          opt_state=opt_state, acc=acc,
+                          update_overflow_max=update_overflow_max)
 
 
 def save_scanned_checkpoint(path, trained: TrainedScanned,

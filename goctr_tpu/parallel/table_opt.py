@@ -71,6 +71,17 @@ class TableOptConfig:
     # (13.5 GB/s); "xla" = lax.gather with (1, D) partial-row slices
     # (0.2 GB/s — defeats XLA's fast row-gather path; kept as A/B record)
     gather_impl: str = "take"   # take | pallas | xla
+    # single-chip fused front-end compaction: >0 compacts the position-
+    # aligned dedup stream (n = batch·(T+1) slots, ~83% junk at headline
+    # zipf traffic) to <=compact_cap real (id, run-sum) rows via one rank
+    # sort before the RMW kernel — the kernel walks cap slots instead of n
+    # and the [·, 128] grad pack shrinks likewise. Uniques beyond the cap
+    # DROP their update (counted: TrainedScanned.update_overflow_max; size
+    # it from measured batch uniqueness with margin). 0 = off (exact for
+    # any batch). Run sums come from consecutive-run-end cumsum diffs
+    # (fused2 math — at-scale cancellation bounded by
+    # tests/test_pallas_kernels.py::test_fused2_cumsum_diff_cancellation*).
+    compact_cap: int = 0
     # ---- multi-chip sharded update (make_sharded_sparse_train_step) ----
     # per-data-shard unique-row budget for the update exchange: each data
     # shard dedups its row gradients locally (scatter-free run sums) and

@@ -196,3 +196,53 @@ def test_sorted_gather_matches_direct():
     np.testing.assert_allclose(np.asarray(r2.table), np.asarray(r1.table),
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(r2.loss_curve, r1.loss_curve, rtol=1e-5)
+
+
+def test_fused_compact_cap_matches_uncompacted():
+    """compact_cap (rank-sort compaction of the fused front-end) must be
+    trajectory-identical to the uncompacted pipeline when the cap covers
+    every batch's uniques, and must COUNT dropped rows when undersized."""
+    vocab = 100
+    train = _planted(2000, vocab, seed=11)
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(16,))
+    cfg = TrainerConfig(batch_size=512, epochs=2, early_stop=0,
+                        shuffle=False, seed=3)
+    base = train_sparse_scanned(model, train, cfg,
+                                TableOptConfig(kind="adagrad", lr=0.3,
+                                               update_mode="fused"))
+    comp = train_sparse_scanned(
+        model, train, cfg,
+        TableOptConfig(kind="adagrad", lr=0.3, update_mode="fused",
+                       compact_cap=1024))   # vocab 100 << 1024: exact
+    assert comp.update_overflow_max == 0
+    np.testing.assert_allclose(comp.loss_curve, base.loss_curve, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(comp.table[:vocab]),
+                               np.asarray(base.table[:vocab]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(comp.acc[:vocab]),
+                               np.asarray(base.acc[:vocab]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_fused_compact_cap_overflow_detected():
+    """An undersized compact_cap must report dropped uniques, never
+    silently lose them."""
+    vocab = 5000
+    rng = np.random.default_rng(0)
+    n = 2048
+    train = SparseSample(
+        user_profile=rng.random((n, 4)).astype(np.float32),
+        behavior_ids=rng.permutation(vocab)[:n].reshape(n, 1).astype(
+            np.int32),
+        item_ids=rng.permutation(vocab)[:n].astype(np.int32),
+        ctx=rng.random((n, 2)).astype(np.float32),
+        labels=(rng.random(n) > 0.5).astype(np.float32))
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=1, hidden=(16,))
+    cfg = TrainerConfig(batch_size=n, epochs=1, early_stop=0, seed=0)
+    r = train_sparse_scanned(model, train, cfg,
+                             TableOptConfig(kind="adagrad", lr=0.1,
+                                            update_mode="fused",
+                                            compact_cap=1024))
+    assert r.update_overflow_max > 0    # 4096 distinct ids >> cap 1024

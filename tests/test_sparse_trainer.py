@@ -151,8 +151,8 @@ def test_sharded_sparse_step_matches_scanned_dedup(mesh):
         ids_flat = jnp.concatenate(
             [jnp.asarray(bids).reshape(-1), jnp.asarray(iids)])
         g_flat = jnp.concatenate([g_b.reshape(-1, D), g_i])
-        ref_table, ref_acc = _table_update(ref_table, ref_acc, ids_flat,
-                                           g_flat, topt, vocab)
+        ref_table, ref_acc, _ = _table_update(ref_table, ref_acc, ids_flat,
+                                              g_flat, topt, vocab)
         ref_losses.append(float(rl))
 
     np.testing.assert_allclose(losses, ref_losses, rtol=2e-5)
