@@ -137,10 +137,20 @@ def train_ranker(model: RankModel, sample: TrainSample,
     xh = np.ascontiguousarray(sample.x, dtype=np.float32).astype(
         sdt, copy=False)
     yh = np.ascontiguousarray(sample.y, dtype=np.float32).ravel()
-    if n_pad > n:   # mask-padded tail (weight 0) — padded on HOST: a
-        # device-side concatenate transiently doubles the dataset's HBM
-        # (16.2 GB at the ML-20M protocol's 14.4M x 281 matrix — OOM'd)
-        xh = np.concatenate([xh, np.zeros((n_pad - n, width), xh.dtype)])
+    # Pad BOTH axes on host, to the batch multiple (tail rows carry weight
+    # 0) and the feature width to a 128-lane multiple. The lane pad is not
+    # extra memory — TPU tiling pads the minor dim to 128 lanes anyway —
+    # but it makes the uploaded layout coincide with the compiled
+    # program's tiled layout, eliding the layout-conversion copy that
+    # otherwise holds TWO dataset-sized buffers at first use (measured
+    # OOM at the ML-20M protocol: 7.5 GB compact + 10.3 GB tiled of the
+    # same f16[14.4M, 281]). A device-side concatenate is equally fatal.
+    width_pad = -(-width // 128) * 128
+    if n_pad > n or width_pad > width:
+        padded = np.zeros((n_pad, width_pad), xh.dtype)
+        padded[:n, :width] = xh
+        xh = padded
+    if n_pad > n:
         yh = np.concatenate([yh, np.zeros((n_pad - n,), np.float32)])
     x = jnp.asarray(xh)
     y = jnp.asarray(yh)
@@ -187,7 +197,7 @@ def train_ranker(model: RankModel, sample: TrainSample,
         def body(carry, batch):
             params, opt_state = carry
             idx, b = batch
-            xb = jnp.take(x, idx, axis=0).astype(jnp.float32)
+            xb = jnp.take(x, idx, axis=0)[:, :width].astype(jnp.float32)
             yb = jnp.take(y, idx)
             wb = jnp.take(w, idx)
             dkey = jax.random.fold_in(drop_key, b)
