@@ -95,6 +95,42 @@ class TrainedRanker:
         probs = np.clip(self.predict(x), 1e-7, 1 - 1e-7)
         return np.log(probs / (1 - probs))
 
+    def predict_all(self, x: np.ndarray, batch_size: int = 65536,
+                    store_dtype: str = "float16") -> np.ndarray:
+        """Whole-matrix scoring in ONE device dispatch: x uploads once
+        (store_dtype, both axes padded so the layout copy is elided — see
+        train_ranker) and a lax.scan walks the buckets on device. Per-call
+        h2d through a remote relay made `predict` 572 round-trips at the
+        ML-20M eval (4.68M rows); this is the eval-scale path."""
+        n, width = x.shape
+        if n == 0:
+            return np.zeros(0, np.float32)
+        bs = min(batch_size, n)
+        n_b = -(-n // bs)
+        sdt = np.dtype(store_dtype) if store_dtype != "bfloat16" \
+            else jnp.bfloat16
+        wp = -(-width // 128) * 128
+        xp = np.zeros((n_b * bs, wp),
+                      np.float32).astype(sdt, copy=False)
+        xp[:n, :width] = x
+        xd = jnp.asarray(xp)
+        del xp
+        info, behavior_len, model = self.info, self.behavior_len, self.model
+
+        @partial(jax.jit, static_argnames=())
+        def run(params, xd):
+            def body(_, b):
+                xb = jax.lax.dynamic_slice(
+                    xd, (b * bs, 0), (bs, xd.shape[1]))[:, :width] \
+                    .astype(jnp.float32)
+                blocks = _blocks_of(xb, info, behavior_len)
+                return None, jax.nn.sigmoid(
+                    model.apply(params, blocks, train=False))
+            _, scores = jax.lax.scan(body, None, jnp.arange(n_b))
+            return scores.reshape(-1)
+
+        return np.asarray(run(self.params, xd))[:n]
+
 
 def _bucket(n: int) -> int:
     """Smallest power-of-two ≥ n, capped — keeps jit cache small."""

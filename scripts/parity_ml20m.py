@@ -233,7 +233,7 @@ def run_models(sample, x_test, te_y, te_uid, timings, say, t_start, scale,
         say(f"{name}: {n_ep} epochs in {dt:.1f}s ({rate:,.0f} ex/s), "
             f"loss {ranker.loss_curve[-1]:.4f}")
         t0 = time.perf_counter()
-        scores = ranker.predict(x_test)
+        scores = ranker.predict_all(x_test)
         s_dev = jnp.asarray(scores)
         auc_out[name] = round(float(auc_fn(s_dev, y_dev)), 6)
         gauc_out[name] = round(float(gauc_fn(s_dev, y_dev, uid_dev)), 6)

@@ -176,3 +176,22 @@ def test_din_long_sequence_kernel_path():
     out = np.asarray(jax.nn.sigmoid(model.apply(params, blocks)))
     assert out.shape == (8,)
     assert np.all(np.isfinite(out))
+
+
+def test_predict_all_matches_bucketed(rng):
+    """One-dispatch device-resident scoring == the bucketed predict path
+    (padding on both axes, f16 storage, ragged tail)."""
+    from goctr_tpu.models import MLPTower, train_ranker
+    from goctr_tpu.models.base import SampleInfo, TrainSample
+    from goctr_tpu.models.trainer import TrainerConfig
+
+    w = 10
+    info = SampleInfo((0, w), (w, w), (w, w), (w, w))
+    x = rng.random((3000, w)).astype(np.float32)
+    y = (x[:, 0] > x[:, 1]).astype(np.float32)
+    r = train_ranker(MLPTower(in_dim=w, hidden=(8,)),
+                     TrainSample(x=x, y=y, info=info),
+                     TrainerConfig(batch_size=256, epochs=2, early_stop=0))
+    a = r.predict(x[:2500])
+    b = r.predict_all(x[:2500], batch_size=512)
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-4)
