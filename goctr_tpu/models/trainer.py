@@ -80,7 +80,7 @@ class TrainedRanker:
         fn = self._predict_fn or _make_predict_fn(
             self.model, self.info, self.behavior_len)
         out = np.empty(n, dtype=np.float32)
-        bs = min(batch_size, _bucket(n))
+        bs = min(batch_size, _bucket(n, cap=batch_size))
         for start in range(0, n, bs):
             chunk = x[start:start + bs]
             if chunk.shape[0] < bs:
@@ -132,10 +132,13 @@ class TrainedRanker:
         return np.asarray(run(self.params, xd))[:n]
 
 
-def _bucket(n: int) -> int:
-    """Smallest power-of-two ≥ n, capped — keeps jit cache small."""
+def _bucket(n: int, cap: int = 8192) -> int:
+    """Smallest power-of-two ≥ n, capped — keeps jit cache small. Callers
+    that want bigger device batches raise `cap` via predict(batch_size=...)
+    (fewer per-call h2d round-trips — each costs seconds on a remote
+    relay)."""
     b = 128
-    while b < n and b < 8192:
+    while b < n and b < cap:
         b *= 2
     return b
 

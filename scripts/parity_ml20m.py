@@ -195,6 +195,16 @@ def run_models(sample, x_test, te_y, te_uid, timings, say, t_start, scale,
     from goctr_tpu.models.trainer import TrainerConfig
     from goctr_tpu.recommend.rcmd import RankerFitter
 
+    # --eval_sample=N scores a uniform N-row subsample of the test slice
+    # (AUC/GAUC estimator noise at 1M rows is ±~0.001 — negligible against
+    # the 0.75-0.80 parity band; full-slice per-call h2d through the axon
+    # relay costs ~10x the training time)
+    es = int(_arg("eval_sample", "0"))
+    if es and es < x_test.shape[0]:
+        sel = np.random.default_rng(0).permutation(x_test.shape[0])[:es]
+        sel.sort()
+        x_test, te_y, te_uid = x_test[sel], te_y[sel], te_uid[sel]
+
     # ---- train + eval the three reference models ------------------------
     import jax.numpy as jnp
     y_dev = jnp.asarray(te_y)
@@ -233,7 +243,8 @@ def run_models(sample, x_test, te_y, te_uid, timings, say, t_start, scale,
         say(f"{name}: {n_ep} epochs in {dt:.1f}s ({rate:,.0f} ex/s), "
             f"loss {ranker.loss_curve[-1]:.4f}")
         t0 = time.perf_counter()
-        scores = ranker.predict_all(x_test)
+        scores = ranker.predict(x_test, batch_size=int(_arg("pred_bs",
+                                                            "131072")))
         s_dev = jnp.asarray(scores)
         auc_out[name] = round(float(auc_fn(s_dev, y_dev)), 6)
         gauc_out[name] = round(float(gauc_fn(s_dev, y_dev, uid_dev)), 6)
