@@ -174,16 +174,27 @@ def main() -> None:
     # norm = lr; 0.1 left the flagship at ln 2 for 4 epochs (r2/r3 runs),
     # lr=2.0 reaches eval AUC 0.96 on the mid-scale CPU ablation
     # (BENCH_NOTES r3) — the signal was always learnable, the step was small
+    # fused front-end compaction (measured +40%: 324.6k vs 232.1k ex/s at
+    # the headline, BENCH_NOTES r4). Default auto-sizes the cap from the
+    # first batch's measured uniqueness +15% margin; --compact=N overrides,
+    # --compact=0 disables. Overflow (dropped updates) is counted and
+    # reported — never silent.
+    b0 = np.concatenate([sample.behavior_ids[:bs].ravel(),
+                         sample.item_ids[:bs]])
+    uniq0 = len(np.unique(b0[b0 >= 0]))
+    compact_arg = _arg("compact", "auto")
+    if compact_arg == "auto":
+        compact = (-(-int(uniq0 * 1.15) // 1024) * 1024
+                   if mode == "fused" and not smoke else 0)
+    else:
+        compact = int(compact_arg)
     ranker = train_sparse_scanned(
         model, sample, cfg,
         TableOptConfig(kind="adagrad", lr=float(_arg("tlr", "2.0")),
                        update_mode=mode,
                        sorted_gather=sorted_gather,
                        gather_impl=_arg("gather", "take"),
-                       # fused front-end compaction (--compact=N): size
-                       # from measured batch uniqueness with margin; the
-                       # run asserts nothing overflowed
-                       compact_cap=int(_arg("compact", "0"))))
+                       compact_cap=compact))
     if ranker.update_overflow_max:
         print(f"WARNING: compact_cap overflowed "
               f"({ranker.update_overflow_max} rows dropped)",
@@ -198,10 +209,10 @@ def main() -> None:
     if mode == "fused":
         # measured unique-target fraction of one batch — the skip_ge DMA
         # skip means only these rows move RMW bytes
-        b0 = np.concatenate([sample.behavior_ids[:bs].ravel(),
-                             sample.item_ids[:bs]])
-        real_frac = len(np.unique(b0[b0 >= 0])) / max(len(b0), 1)
-    bytes_ex = model_bytes_per_example(model, t, mode, real_frac=real_frac)
+        real_frac = uniq0 / max(len(b0), 1)
+    bytes_ex = model_bytes_per_example(
+        model, t, mode, real_frac=real_frac,
+        compact_frac=compact / max(len(b0), 1) if compact else 0.0)
     hbm_util_pct = 100.0 * examples_per_s * bytes_ex / V5E_HBM_BYTES_PER_S
 
     extra = {}

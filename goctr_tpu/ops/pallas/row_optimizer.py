@@ -488,6 +488,22 @@ def packed_lines(vocab: int, d: int) -> int:
     return -(-vocab // group_size(d))
 
 
+def _group_select(d: int):
+    """([g*d, 128] w-placement, [g, 128] acc-placement) 0/1 matrices:
+    row-major (group, dim) weight j lands on lane group*(d+1)+dim, group
+    g's acc on lane g*(d+1)+d. Lane placement as MXU matmuls — narrow
+    [L, g, d+1] reshape intermediates tile-pad their minor dims to 128
+    lanes (an 8-18x transient; 117 GB at 100M x 16, measured OOM)."""
+    g = group_size(d)
+    sel_w = np.zeros((g * d, LANES), np.float32)
+    sel_a = np.zeros((g, LANES), np.float32)
+    for grp in range(g):
+        for j in range(d):
+            sel_w[grp * d + j, grp * (d + 1) + j] = 1.0
+        sel_a[grp, grp * (d + 1) + d] = 1.0
+    return jnp.asarray(sel_w), jnp.asarray(sel_a)
+
+
 def pack_table_grouped(weights: jax.Array, acc: jax.Array | None = None
                        ) -> jax.Array:
     """[V, D] (+ [V] acc) → [ceil(V/G), 128] grouped lines."""
@@ -503,24 +519,42 @@ def pack_table_grouped(weights: jax.Array, acc: jax.Array | None = None
         weights = jnp.concatenate(
             [weights, jnp.zeros((pad, d), weights.dtype)])
         acc = jnp.concatenate([acc, jnp.zeros((pad,), acc.dtype)])
-    arr = jnp.concatenate(
-        [weights.reshape(lines, g, d).astype(jnp.float32),
-         acc.reshape(lines, g, 1).astype(jnp.float32)], axis=2)
-    flat = arr.reshape(lines, g * (d + 1))
-    out = jnp.zeros((lines, LANES), jnp.float32)
-    return out.at[:, :g * (d + 1)].set(flat)
+    sel_w, sel_a = _group_select(d)
+    wr = weights.reshape(lines, g * d).astype(jnp.float32)
+    ar = acc.reshape(lines, g).astype(jnp.float32)
+    return (jnp.dot(wr, sel_w, preferred_element_type=jnp.float32)
+            + jnp.dot(ar, sel_a, preferred_element_type=jnp.float32))
 
 
 def unpack_table_grouped(table_lines: jax.Array, vocab: int, d: int):
-    """grouped [L, 128] → ([vocab, D] weights, [vocab] acc)."""
+    """grouped [L, 128] → ([vocab, D] weights, [vocab] acc). Lane
+    extraction via the transposed placement matmuls (see _group_select).
+    CAUTION: the [vocab, D] output itself tile-pads to 128 lanes on
+    device — at very large vocab unpack on HOST instead
+    (unpack_table_grouped_np)."""
     g = group_size(d)
     if g == 1:
         w, acc = unpack_table(table_lines, d)
         return w[:vocab], acc[:vocab]
     lines = table_lines.shape[0]
-    arr = table_lines[:, :g * (d + 1)].reshape(lines, g, d + 1)
+    sel_w, sel_a = _group_select(d)
+    w = jnp.dot(table_lines, sel_w.T,
+                preferred_element_type=jnp.float32)      # [L, g*d]
+    acc = jnp.dot(table_lines, sel_a.T,
+                  preferred_element_type=jnp.float32)    # [L, g]
+    return (w.reshape(lines * g, d)[:vocab],
+            acc.reshape(lines * g)[:vocab])
+
+
+def unpack_table_grouped_np(table_lines: np.ndarray, vocab: int, d: int):
+    """Host (numpy) unpack — no tiling, no device allocations; the export
+    path for very large grouped tables (a [100M, 16] f32 DEVICE array
+    occupies 51 GB under (8,128) lane tiling)."""
+    g = group_size(d)
+    lines = table_lines.shape[0]
+    arr = np.asarray(table_lines)[:, :g * (d + 1)].reshape(lines, g, d + 1)
     w = arr[:, :, :d].reshape(lines * g, d)[:vocab]
-    acc = arr[:, :, d].reshape(lines * g)[:vocab]
+    acc = np.ascontiguousarray(arr[:, :, d].reshape(lines * g)[:vocab])
     return w, acc
 
 

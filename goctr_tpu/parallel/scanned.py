@@ -68,6 +68,11 @@ class TrainedScanned:
     # cap (TableOptConfig.compact_cap); 0 = every batch fit — if ever
     # nonzero, grow the cap (those rows lost their updates)
     update_overflow_max: int = 0
+    # >1: `table` is grouped packed lines [ceil(V/G), 128] (very large
+    # small-D vocabs stay in line layout end-to-end — a [V, D] device
+    # array would tile-pad D to 128 lanes, 51 GB at 100M x 16); predict
+    # and checkpoints handle the layout
+    packed_group: int = 1
 
     @property
     def params(self) -> dict:
@@ -79,10 +84,22 @@ class TrainedScanned:
         model = self.model
         cd = model.compute_dtype
 
+        G = self.packed_group
+        D = model.emb_dim
+
         @jax.jit
         def fwd(dense, table, prof, bids, iids, ctx):
-            emb_b = jnp.take(table, jnp.maximum(bids, 0), axis=0).astype(cd)
-            emb_i = jnp.take(table, iids, axis=0).astype(cd)
+            def rows_of(ids):
+                if G == 1:
+                    return jnp.take(table, ids, axis=0).astype(cd)
+                lines = jnp.take(table, ids // G, axis=0)
+                l3 = lines[..., :G * (D + 1)].reshape(
+                    ids.shape + (G, D + 1))
+                oh = jax.nn.one_hot(ids % G, G, dtype=jnp.float32)
+                return jnp.einsum("...g,...gd->...d", oh,
+                                  l3)[..., :D].astype(cd)
+            emb_b = rows_of(jnp.maximum(bids, 0))
+            emb_i = rows_of(iids)
             mask = (bids >= 0).astype(jnp.float32)
             return jax.nn.sigmoid(model.apply_pooled(
                 dense, prof, emb_b, emb_i, ctx, mask, train=False))
@@ -105,6 +122,10 @@ class TrainedScanned:
             out[s:e] = np.asarray(scores)[:e - s]
         return out
 
+
+# vocab threshold above which grouped-fused tables stay in line layout
+# end-to-end (init, train, predict, checkpoint)
+GROUPED_RESIDENT_MIN_V = 4_000_000
 
 _SCAT_DNUMS = jax.lax.ScatterDimensionNumbers(
     update_window_dims=(1,), inserted_window_dims=(0,),
@@ -394,7 +415,17 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
                     for i, k in enumerate(mkeys)],
             "bias": [jnp.zeros((d,), jnp.float32) for d in dims[1:]],
         }
-        table = jax.random.normal(k_table, (V, D), jnp.float32) * 0.01
+        from goctr_tpu.ops.pallas.row_optimizer import group_size as _gs
+        if (topt.update_mode == "fused" and _gs(D) > 1
+                and V >= GROUPED_RESIDENT_MIN_V):
+            # very large small-D vocab: a [V, D] device array tile-pads
+            # its 16 lanes to 128 (51 GB at 100M x 16) — generate the
+            # grouped line layout directly and keep it packed end-to-end
+            # (predict + checkpoints handle the layout; init stream
+            # differs from the [V, D] draw, same distribution)
+            table = jnp.zeros((0, D), jnp.float32)
+        else:
+            table = jax.random.normal(k_table, (V, D), jnp.float32) * 0.01
         acc = jnp.zeros((V,), jnp.float32)  # adagrad moment (unused for sgd)
 
     # dedup mode scatters into distinct in-range junk rows past the vocab
@@ -419,12 +450,12 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
             [acc, jnp.zeros((v_alloc - acc.shape[0],), jnp.float32)])
     if fused:
         if G > 1:
-            # NOTE: packing transiently holds [V, D] + [L, 128] (13.7 GB
-            # at 100M x 16). If that ever RESOURCE_EXHAUSTs, switch the
-            # fresh-init case to row_optimizer.init_packed_table_grouped
-            # (builds the line layout directly, different RNG stream).
-            from goctr_tpu.ops.pallas.row_optimizer import pack_table_grouped
-            table = pack_table_grouped(table, acc)
+            from goctr_tpu.ops.pallas.row_optimizer import (
+                init_packed_table_grouped, pack_table_grouped)
+            if table.shape[0] == 0:       # direct grouped init (above)
+                table = init_packed_table_grouped(k_table, V, D)
+            else:
+                table = pack_table_grouped(table, acc)
         else:
             from goctr_tpu.ops.pallas.row_optimizer import pack_table
             table = pack_table(table, acc)    # [V, 128]: w | acc | pad
@@ -585,18 +616,23 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
 
     if resume_from is not None:
         loss_curve = resume_from.loss_curve + loss_curve
+    packed_group = 1
     if fused:
         if G > 1:
-            from goctr_tpu.ops.pallas.row_optimizer import (
-                unpack_table_grouped)
-            table, acc = unpack_table_grouped(table, V, D)
+            if V >= GROUPED_RESIDENT_MIN_V:
+                packed_group = G          # stays in line layout end-to-end
+            else:
+                from goctr_tpu.ops.pallas.row_optimizer import (
+                    unpack_table_grouped)
+                table, acc = unpack_table_grouped(table, V, D)
         else:
             from goctr_tpu.ops.pallas.row_optimizer import unpack_table
             table, acc = unpack_table(table, D)   # external artifact
     return TrainedScanned(model=model, dense_params=dense_params, table=table,
                           loss_curve=loss_curve, epoch_times=epoch_times,
                           opt_state=opt_state, acc=acc,
-                          update_overflow_max=update_overflow_max)
+                          update_overflow_max=update_overflow_max,
+                          packed_group=packed_group)
 
 
 def save_scanned_checkpoint(path, trained: TrainedScanned,
@@ -629,9 +665,16 @@ def save_scanned_checkpoint(path, trained: TrainedScanned,
     np.savez(path / "dense.npz", **_flatten_params(trained.dense_params))
     # trim dedup-mode junk pad rows: checkpoints carry exactly the vocab
     v = m.item_vocab
-    np.savez(path / "table.npz", table=np.asarray(trained.table[:v]),
-             acc=np.asarray(trained.acc[:v]) if trained.acc is not None
-             else np.zeros(0, np.float32))
+    if trained.packed_group > 1:
+        from goctr_tpu.ops.pallas.row_optimizer import (
+            unpack_table_grouped_np)
+        w, a = unpack_table_grouped_np(np.asarray(trained.table), v,
+                                       m.emb_dim)
+        np.savez(path / "table.npz", table=w, acc=a)
+    else:
+        np.savez(path / "table.npz", table=np.asarray(trained.table[:v]),
+                 acc=np.asarray(trained.acc[:v]) if trained.acc is not None
+                 else np.zeros(0, np.float32))
     if trained.opt_state is not None:
         leaves = jax.tree.leaves(trained.opt_state)
         np.savez(path / "opt_state.npz",
@@ -678,7 +721,8 @@ def load_scanned_checkpoint(path) -> TrainedScanned:
 
 def model_bytes_per_example(model: SparseCTR, T: int,
                             update_mode: str = "dedup",
-                            real_frac: float = 1.0) -> float:
+                            real_frac: float = 1.0,
+                            compact_frac: float = 0.0) -> float:
     """Analytic HBM bytes per example for the scanned trainer (f32 table):
     embedding gather (T+1 rows), table-update read-modify-write of the same
     rows, adagrad accumulator traffic, the dataset-row gather, and — for
@@ -714,6 +758,13 @@ def model_bytes_per_example(model: SparseCTR, T: int,
         # id sort (2×4B) + row permute (2×row) + blockwise cumsum
         # (2×row) + the kernel's [n, D] cumsum-block stream (row)
         pipeline = rows * (8.0 + 5.0 * row)
+    elif update_mode == "fused" and compact_frac:
+        # compacted front-end (compact_cap): id sort (2×4B) + rank sort
+        # (2×4B) + row permute (2×row) + cumsum (2×row); only the
+        # compact_frac selected slots move the c_sel gather (2×row) and
+        # the grad pack + kernel stream (2×packed)
+        pipeline = (rows * (16.0 + 4.0 * row)
+                    + compact_frac * rows * (2.0 * row + 2.0 * packed))
     elif update_mode in ("dedup", "fused"):
         # ops/segsum.py per update row: id sort (2×4B), row permute
         # (2×row), in-block cumsum (2×row), exclusive/boundary gather

@@ -246,3 +246,35 @@ def test_fused_compact_cap_overflow_detected():
                                             update_mode="fused",
                                             compact_cap=1024))
     assert r.update_overflow_max > 0    # 4096 distinct ids >> cap 1024
+
+
+def test_grouped_resident_predict_and_checkpoint(monkeypatch, tmp_path):
+    """Very large grouped vocabs keep the [L, 128] line layout end-to-end
+    (a [V, D] device array lane-pads D→128; 51GB at 100M×16). Predict must
+    gather grouped lines and checkpoints must export the standard [V, D]
+    layout via the host unpack."""
+    from goctr_tpu.parallel import scanned as sc
+
+    monkeypatch.setattr(sc, "GROUPED_RESIDENT_MIN_V", 50)
+    vocab = 100
+    train = _planted(2000, vocab, seed=11)
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(16,))
+    cfg = TrainerConfig(batch_size=512, epochs=2, early_stop=0,
+                        shuffle=False, seed=3)
+    r = sc.train_sparse_scanned(model, train, cfg,
+                                TableOptConfig(kind="adagrad", lr=0.3,
+                                               update_mode="fused"))
+    assert r.packed_group > 1
+    assert r.table.shape[1] == 128          # line layout retained
+    scores = r.predict(train)
+    assert np.isfinite(scores).all() and scores.shape == (2000,)
+
+    sc.save_scanned_checkpoint(tmp_path / "ck", r, cfg)
+    loaded = sc.load_scanned_checkpoint(tmp_path / "ck")
+    assert loaded.table.shape == (vocab, 8)  # standard layout exported
+    from goctr_tpu.ops.pallas.row_optimizer import unpack_table_grouped_np
+    want_w, _ = unpack_table_grouped_np(np.asarray(r.table), vocab, 8)
+    np.testing.assert_allclose(np.asarray(loaded.table), want_w, rtol=1e-6)
+    scores2 = loaded.predict(train)
+    np.testing.assert_allclose(scores, scores2, rtol=2e-3, atol=2e-4)
