@@ -558,26 +558,29 @@ def unpack_table_grouped_np(table_lines: np.ndarray, vocab: int, d: int):
     return w, acc
 
 
+@functools.partial(jax.jit, static_argnames=("vocab", "d", "scale"))
 def init_packed_table_grouped(key: jax.Array, vocab: int, d: int,
                               scale: float = 0.01) -> jax.Array:
-    """Fresh grouped table without materializing the [V, D] intermediate
-    (at 100M x 16 that transient would double peak HBM during packing)."""
+    """Fresh grouped table without materializing the [V, D] intermediate.
+    Jitted as ONE program: run eagerly, the noise draw + lane mask + tail
+    zeroing each materialize a table-sized buffer (3 x 7.3 GB at
+    100M x 16 — measured RESOURCE_EXHAUSTED); fused, the only allocation
+    is the output."""
     g = group_size(d)
     lines = packed_lines(vocab, d)
     stride = d + 1
     lane = jnp.arange(LANES)
     within = lane < g * stride
     is_w = within & ((lane % stride) < d)
+    # zero weight lanes of the tail rows past the vocab (pad groups in the
+    # last line); rows are fully determined by (line, lane) so this is one
+    # fused mask, not a post-hoc row patch
+    grp_of_lane = jnp.minimum(lane // stride, g - 1)
+    row_of = (jnp.arange(lines, dtype=jnp.int32)[:, None] * g
+              + grp_of_lane[None, :].astype(jnp.int32))
+    live = is_w[None, :] & (row_of < vocab)
     noise = jax.random.normal(key, (lines, LANES), jnp.float32) * scale
-    tbl = jnp.where(is_w[None, :], noise, 0.0)
-    # zero the tail rows past the vocab (pad groups in the last line)
-    if lines * g > vocab:
-        grp_of_lane = jnp.minimum(lane // stride, g - 1)
-        last_row = (lines - 1) * g + grp_of_lane
-        tail_ok = (last_row < vocab) | ~within
-        tbl = tbl.at[lines - 1].set(
-            jnp.where(tail_ok, tbl[lines - 1], 0.0))
-    return tbl
+    return jnp.where(live, noise, 0.0)
 
 
 def _gline_kernel(ids_ref, lr_ref, g_ref, spread_ref, tin_ref, tout_ref,
