@@ -120,6 +120,8 @@ class UserBehaviorCache:
         user_ids = np.asarray(user_ids, np.int64)
         max_ts = np.asarray(max_ts, np.int64)
         n = user_ids.shape[0]
+        if uids_s.size == 0:      # empty cache: every user is unknown
+            return np.full((n, max_len), pad_item, np.int64)
         urow = np.searchsorted(uids_s, user_ids)
         known = (urow < uids_s.size)
         urow = urow.clip(0, max(uids_s.size - 1, 0))

@@ -110,8 +110,10 @@ class TrainedRanker:
         sdt = np.dtype(store_dtype) if store_dtype != "bfloat16" \
             else jnp.bfloat16
         wp = -(-width // 128) * 128
-        xp = np.zeros((n_b * bs, wp),
-                      np.float32).astype(sdt, copy=False)
+        # allocate directly in the storage dtype: NumPy casts on assignment,
+        # so the host never holds an f32 copy of the padded matrix (~7 GB
+        # transient at the ML-20M eval shape)
+        xp = np.zeros((n_b * bs, wp), sdt)
         xp[:n, :width] = x
         xd = jnp.asarray(xp)
         del xp

@@ -367,7 +367,11 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
     """Single-device scanned training. For multi-chip table sharding use
     parallel/sparse_trainer.py; this path maximizes one chip. Pass a prior
     TrainedScanned as resume_from for true mid-training resume (params,
-    table, adagrad accumulator, and dense optimizer state all restore)."""
+    table, adagrad accumulator, and dense optimizer state all restore).
+    NOTE: resuming a grouped-resident result (packed_group > 1) into the
+    same fused mode reuses its [L, 128] line table ZERO-COPY — with
+    donation on, training consumes resume_from.table (a defensive copy
+    would transiently double table HBM: 14.6 GB at 100M x 16)."""
     cfg = cfg or TrainerConfig()
     topt = table_opt or TableOptConfig()
     if topt.kind not in ("adagrad", "sgd"):
@@ -402,6 +406,8 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
     dims = (model.concat_dim,) + tuple(model.hidden) + (1,)
     from goctr_tpu.models.base import init_linear
     mkeys = jax.random.split(k_mlp, len(dims) - 1)
+    resumed_group = (resume_from.packed_group
+                     if resume_from is not None else 1)
     if resume_from is not None:
         dense_params = resume_from.dense_params
         table = resume_from.table
@@ -441,6 +447,13 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
     # grouped lines: `fused` at small D packs G = 128//(D+1) rows per
     # 128-lane line (BASELINE #5: 100M x 16 → 7.3 GB instead of 51 GB)
     G = group_size(D) if topt.update_mode == "fused" else 1
+    # in-memory resume of a grouped-resident result (ADVICE r4): the table
+    # is already [L, 128] lines and acc is the empty placeholder — reuse
+    # the line layout directly when it matches, unpack first otherwise
+    if resumed_group > 1 and not (fused and G == resumed_group):
+        from goctr_tpu.ops.pallas.row_optimizer import unpack_table_grouped
+        table, acc = unpack_table_grouped(table, V, D)
+        resumed_group = 1
     v_alloc = V + (table_pad_rows(bs, T)
                    if topt.update_mode == "dedup" else 0)
     if topt.update_mode == "dedup" and table.shape[0] < v_alloc:
@@ -452,7 +465,9 @@ def train_sparse_scanned(model: SparseCTR, sample: SparseSample,
         if G > 1:
             from goctr_tpu.ops.pallas.row_optimizer import (
                 init_packed_table_grouped, pack_table_grouped)
-            if table.shape[0] == 0:       # direct grouped init (above)
+            if resumed_group == G:
+                pass                      # already in line layout
+            elif table.shape[0] == 0:     # direct grouped init (above)
                 table = init_packed_table_grouped(k_table, V, D)
             else:
                 table = pack_table_grouped(table, acc)

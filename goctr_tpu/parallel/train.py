@@ -205,8 +205,12 @@ def make_sharded_sparse_train_step(model: SparseCTR,
         u_rows = jnp.where(sel_real[:, None], c_sel - prev, 0.0)
         u_ids = jnp.where(sel_real, jnp.take(s_ids, sel), V)
         n_u = jnp.sum(real_end.astype(jnp.int32))
-        over = jax.lax.psum(jnp.maximum(n_u - cap, 0), DATA_AXIS) \
-            // jnp.int32(mesh.shape[MODEL_AXIS])
+        # n_u is computed from `ids`, which is sharded only over `data`
+        # (replicated along `model`), so a psum over DATA_AXIS alone IS the
+        # true global dropped count — same convention as embedding.py's
+        # lookup overflow. (ADVICE r4: dividing by the model-axis size here
+        # undercounted by m and floored small overflows to 0.)
+        over = jax.lax.psum(jnp.maximum(n_u - cap, 0), DATA_AXIS)
 
         # ---- stage 2: exchange compacted streams over `data` -----------
         ga_ids = jax.lax.all_gather(u_ids, DATA_AXIS, axis=0, tiled=True)

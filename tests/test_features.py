@@ -212,3 +212,13 @@ def test_ubcache_bulk_get_matches_per_row(rng):
         if seq is not None:
             want[:seq.items.size] = seq.items
         np.testing.assert_array_equal(out[i], want)
+
+
+def test_ubcache_bulk_get_empty_cache():
+    """bulk_get on an EMPTY cache must return all-pad rows, not IndexError
+    (ADVICE r4: offsets has size 1, offsets[urow+1] was out of bounds)."""
+    from goctr_tpu.features.ubcache import UserBehaviorCache
+
+    ubc = UserBehaviorCache()
+    out = ubc.bulk_get(np.array([1, 2, 3]), np.array([0, 5, 0]), 4)
+    np.testing.assert_array_equal(out, np.full((3, 4), -1, np.int64))

@@ -278,3 +278,43 @@ def test_grouped_resident_predict_and_checkpoint(monkeypatch, tmp_path):
     np.testing.assert_allclose(np.asarray(loaded.table), want_w, rtol=1e-6)
     scores2 = loaded.predict(train)
     np.testing.assert_allclose(scores, scores2, rtol=2e-3, atol=2e-4)
+
+
+def test_grouped_resident_in_memory_resume(monkeypatch):
+    """In-memory resume of a grouped-resident run (packed_group > 1) must
+    reuse the [L, 128] line layout instead of feeding it to
+    pack_table_grouped as [V, D] weights (ADVICE r4)."""
+    from goctr_tpu.parallel import scanned as sc
+
+    monkeypatch.setattr(sc, "GROUPED_RESIDENT_MIN_V", 50)
+    vocab = 100
+    train = _planted(2000, vocab, seed=11)
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(16,))
+    cfg = TrainerConfig(batch_size=512, epochs=2, early_stop=0,
+                        shuffle=False, seed=3)
+    topt = TableOptConfig(kind="adagrad", lr=0.3, update_mode="fused")
+    r = sc.train_sparse_scanned(model, train, cfg, topt)
+    assert r.packed_group > 1
+
+    # resuming into a non-grouped mode unpacks the lines first
+    r3 = sc.train_sparse_scanned(
+        model, train, TrainerConfig(batch_size=512, epochs=1, early_stop=0,
+                                    shuffle=False, seed=4),
+        TableOptConfig(kind="adagrad", lr=0.3, update_mode="dedup"),
+        resume_from=r)
+    # dedup mode keeps its junk pad rows past the vocab; the real rows
+    # must be the standard [V, D] layout (unpacked from the lines)
+    assert r3.packed_group == 1 and r3.table.shape[1] == 8
+    assert r3.table.shape[0] >= vocab
+
+    # grouped→grouped resume reuses the line layout zero-copy (donation
+    # consumes resume_from.table — run it last)
+    n_prev = len(r.loss_curve)
+    last_prev = r.loss_curve[-1]
+    r2 = sc.train_sparse_scanned(model, train, cfg, topt, resume_from=r)
+    assert r2.packed_group == r.packed_group
+    assert len(r2.loss_curve) == n_prev + 2
+    assert r2.loss_curve[-1] <= last_prev + 1e-6
+    scores = r2.predict(train)
+    assert np.isfinite(scores).all()

@@ -337,3 +337,35 @@ def test_exchange_cap_overflow_detected(mesh):
                       table_opt=TableOptConfig(kind="adagrad", lr=0.1,
                                                update_mode="fused"))
     assert r2.lookup_overflow_max == 0
+
+
+def test_exchange_cap_overflow_count_exact_on_model_sharded_mesh(mesh):
+    """The overflow counter must report the EXACT global dropped-unique
+    count on an m>1 mesh (ADVICE r4: a spurious //m made small overflows
+    floor to 0 — silently dropped updates). ids is sharded only over
+    `data`, so psum over DATA_AXIS alone is already the global count.
+
+    Construction: 4096 examples, T=1 → ids_flat has 8192 globally distinct
+    ids → each of the 4 data shards sees 2048 uniques; exchange_cap=1024
+    drops exactly 1024 per shard → global 4096 (the buggy //m said 2048)."""
+    from goctr_tpu.parallel.table_opt import TableOptConfig
+
+    vocab = 8192
+    n = 4096
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(vocab).astype(np.int32)
+    train = SparseSample(
+        user_profile=rng.random((n, 4), dtype=np.float32),
+        behavior_ids=perm[:n].reshape(n, 1),
+        item_ids=perm[n:2 * n],
+        ctx=rng.random((n, 2), dtype=np.float32),
+        labels=(rng.random(n) > 0.5).astype(np.float32))
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=1, hidden=(16,))
+    cfg = TrainerConfig(batch_size=n, epochs=1, early_stop=0, lr=1e-2,
+                        l2=0.0, shuffle=False)
+    r = train_sparse(model, train, mesh, cfg,
+                     table_opt=TableOptConfig(kind="adagrad", lr=0.1,
+                                              update_mode="fused",
+                                              exchange_cap=1024))
+    assert r.lookup_overflow_max == 4096
