@@ -296,25 +296,23 @@ def test_grouped_resident_in_memory_resume(monkeypatch):
     topt = TableOptConfig(kind="adagrad", lr=0.3, update_mode="fused")
     r = sc.train_sparse_scanned(model, train, cfg, topt)
     assert r.packed_group > 1
-
-    # resuming into a non-grouped mode unpacks the lines first
-    r3 = sc.train_sparse_scanned(
-        model, train, TrainerConfig(batch_size=512, epochs=1, early_stop=0,
-                                    shuffle=False, seed=4),
-        TableOptConfig(kind="adagrad", lr=0.3, update_mode="dedup"),
-        resume_from=r)
-    # dedup mode keeps its junk pad rows past the vocab; the real rows
-    # must be the standard [V, D] layout (unpacked from the lines)
-    assert r3.packed_group == 1 and r3.table.shape[1] == 8
-    assert r3.table.shape[0] >= vocab
+    n_prev, last_prev = len(r.loss_curve), r.loss_curve[-1]
 
     # grouped→grouped resume reuses the line layout zero-copy (donation
-    # consumes resume_from.table — run it last)
-    n_prev = len(r.loss_curve)
-    last_prev = r.loss_curve[-1]
+    # consumes resume_from — chain the resumes, never reuse a consumed one)
     r2 = sc.train_sparse_scanned(model, train, cfg, topt, resume_from=r)
     assert r2.packed_group == r.packed_group
     assert len(r2.loss_curve) == n_prev + 2
     assert r2.loss_curve[-1] <= last_prev + 1e-6
     scores = r2.predict(train)
     assert np.isfinite(scores).all()
+
+    # resuming into a non-grouped mode unpacks the lines first (dedup mode
+    # keeps its junk pad rows past the vocab)
+    r3 = sc.train_sparse_scanned(
+        model, train, TrainerConfig(batch_size=512, epochs=1, early_stop=0,
+                                    shuffle=False, seed=4),
+        TableOptConfig(kind="adagrad", lr=0.3, update_mode="dedup"),
+        resume_from=r2)
+    assert r3.packed_group == 1 and r3.table.shape[1] == 8
+    assert r3.table.shape[0] >= vocab
