@@ -558,16 +558,21 @@ def unpack_table_grouped_np(table_lines: np.ndarray, vocab: int, d: int):
     return w, acc
 
 
-@functools.partial(jax.jit, static_argnames=("vocab", "d", "scale"))
+@functools.partial(jax.jit,
+                   static_argnames=("vocab", "d", "scale", "lines"))
 def init_packed_table_grouped(key: jax.Array, vocab: int, d: int,
-                              scale: float = 0.01) -> jax.Array:
+                              scale: float = 0.01,
+                              lines: int | None = None) -> jax.Array:
     """Fresh grouped table without materializing the [V, D] intermediate.
     Jitted as ONE program: run eagerly, the noise draw + lane mask + tail
     zeroing each materialize a table-sized buffer (3 x 7.3 GB at
     100M x 16 — measured RESOURCE_EXHAUSTED); fused, the only allocation
-    is the output."""
+    is the output. `lines` overrides the line count (>= ceil(vocab/G)) so
+    sharded callers can pad to a model-axis multiple; rows past `vocab`
+    stay zero either way."""
     g = group_size(d)
-    lines = packed_lines(vocab, d)
+    if lines is None:
+        lines = packed_lines(vocab, d)
     stride = d + 1
     lane = jnp.arange(LANES)
     within = lane < g * stride

@@ -49,12 +49,37 @@ def init_table(key: jax.Array, spec: EmbeddingSpec, mesh: Mesh,
         jax.random.normal(key, (v, spec.dim), jnp.float32) * scale, sharding)
 
 
+def _extract_group(lines: jax.Array, slot: jax.Array, group: int,
+                   width: int) -> jax.Array:
+    """lines [..., 128] grouped-line rows (pack_table_grouped layout),
+    slot [...] = row index within its line → [..., width] embeddings.
+    One-hot einsum over the [..., G, width+1] view (same construction as
+    the scanned trainer's grouped predict, parallel/scanned.py)."""
+    stride = width + 1
+    l3 = lines[..., :group * stride].reshape(lines.shape[:-1]
+                                             + (group, stride))
+    oh = jax.nn.one_hot(slot, group, dtype=lines.dtype)
+    return jnp.einsum("...g,...gd->...d", oh, l3)[..., :width]
+
+
 def _local_gather(local_rows: jax.Array, ids: jax.Array,
-                  n_shards: int, width: int = 0) -> jax.Array:
+                  n_shards: int, width: int = 0,
+                  group: int = 1) -> jax.Array:
     """Gather ids from this shard's row range, zeros elsewhere; combine with
     psum over the model axis. Runs inside shard_map. width > 0 lane-slices
     packed rows BEFORE the psum (so a [V/m, 128] packed table moves only
-    [.., width] over ICI)."""
+    [.., width] over ICI). group > 1: local_rows are grouped 128-lane
+    LINES of `group` (w | acc) row-slots each; ids stay ROW ids."""
+    if group > 1:
+        per_lines = local_rows.shape[0]
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        local_ids = ids - shard * (per_lines * group)
+        valid = (local_ids >= 0) & (local_ids < per_lines * group)
+        safe = jnp.clip(local_ids, 0, per_lines * group - 1)
+        lines = jnp.take(local_rows, safe // group, axis=0)
+        emb = _extract_group(lines, safe % group, group, width)
+        emb = jnp.where(valid[..., None], emb, 0.0)
+        return jax.lax.psum(emb, MODEL_AXIS)
     per_shard = local_rows.shape[0]
     shard = jax.lax.axis_index(MODEL_AXIS)
     local_ids = ids - shard * per_shard
@@ -94,13 +119,19 @@ def _dedup_flat(flat: jax.Array, cap: int):
 
 def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
                    dedup_cap: int = 0, with_overflow: bool = False,
-                   width: int = 0):
+                   width: int = 0, group: int = 1):
     """ids [B, ...] int32 → embeddings [B, ..., D], batch-sharded over data.
 
     width > 0: the table rows are PACKED (e.g. [V, 128] w|acc|pad from the
     fused row-optimizer layout) and only the first `width` lanes are the
     embedding — they are sliced out before any psum so ICI traffic is
     [., width], not [., 128].
+
+    group > 1: the table is GROUPED LINES ([L, 128], pack_table_grouped
+    layout: `group` (w | acc) slots per 128-lane line — BASELINE #5's
+    storage layout, 7.3 GB instead of 51 at 100M × 16). `width` must be
+    the embedding dim; ids remain ROW ids (row r lives in line r // group,
+    slot r % group). Each model shard owns L/m lines = (L/m)·group rows.
 
     Negative ids (padding) return zero vectors. On a 1×1 mesh this is a
     plain gather — no shard_map (which some single-chip PJRT backends,
@@ -122,10 +153,17 @@ def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
     wrong embeddings (VERDICT r2 weak #4). Zero whenever the dedup path is
     off (dedup_cap == 0 or single-device mesh: those paths are exact).
     """
+    if group > 1 and not width:
+        raise ValueError("grouped lookup requires width=emb_dim")
     if _single_device(mesh):
-        emb = jnp.take(table, jnp.maximum(ids, 0), axis=0)
-        if width:
-            emb = emb[..., :width]
+        safe = jnp.maximum(ids, 0)
+        if group > 1:
+            lines = jnp.take(table, safe // group, axis=0)
+            emb = _extract_group(lines, safe % group, group, width)
+        else:
+            emb = jnp.take(table, safe, axis=0)
+            if width:
+                emb = emb[..., :width]
         out = jnp.where(ids[..., None] < 0, 0.0, emb)
         return (out, jnp.int32(0)) if with_overflow else out
 
@@ -140,7 +178,7 @@ def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
         if not dedup_cap:
             neg = local_ids < 0
             out = _local_gather(local_rows, jnp.maximum(local_ids, 0),
-                                n_shards, width)
+                                n_shards, width, group)
             return (jnp.where(neg[..., None], 0.0, out),
                     jnp.zeros((), jnp.int32))
 
@@ -148,7 +186,7 @@ def sharded_lookup(table: jax.Array, ids: jax.Array, mesh: Mesh,
         cap = min(dedup_cap, flat.shape[0])
         uniq, inv, n_unique = _dedup_flat(flat, cap)
         emb_u = _local_gather(local_rows, jnp.maximum(uniq, 0), n_shards,
-                              width)
+                              width, group)
         emb_u = jnp.where(uniq[:, None] < 0, 0.0, emb_u)   # [cap, out_dim]
         out = jnp.take(emb_u, jnp.clip(inv, 0, cap - 1), axis=0)
         # ids are replicated over model, so n_unique already agrees across

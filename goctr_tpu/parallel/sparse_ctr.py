@@ -72,12 +72,33 @@ class SparseCTR:
         # profile + attention-pooled behaviors + item emb + ctx
         return self.u_profile_dim + 2 * self.emb_dim + self.ctx_dim
 
-    def init_params(self, key: jax.Array, mesh: Mesh) -> dict:
+    def init_params(self, key: jax.Array, mesh: Mesh,
+                    table_group: int = 1) -> dict:
+        """table_group > 1 initializes the item table directly as grouped
+        128-lane lines ([V_pad/G, 128], pack_table_grouped layout, V_pad a
+        multiple of m·G) — the [V, D] intermediate never materializes (it
+        lane-pads D→128 under tiling: 51 GB at 100M × 16)."""
         k_table, k_mlp = jax.random.split(key)
         dims = (self.concat_dim,) + tuple(self.hidden) + (1,)
         keys = jax.random.split(k_mlp, len(dims) - 1)
+        if table_group > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from goctr_tpu.core.meshes import MODEL_AXIS
+            from goctr_tpu.ops.pallas.row_optimizer import (
+                init_packed_table_grouped)
+            m = mesh.shape[MODEL_AXIS]
+            v_pad = -(-self.item_vocab // (m * table_group)) * (
+                m * table_group)
+            table = jax.jit(
+                lambda k: init_packed_table_grouped(
+                    k, self.item_vocab, self.emb_dim,
+                    lines=v_pad // table_group),
+                out_shardings=NamedSharding(mesh, P(MODEL_AXIS, None)),
+            )(k_table)
+        else:
+            table = init_table(k_table, self.spec, mesh)
         return {
-            "item_table": init_table(k_table, self.spec, mesh),
+            "item_table": table,
             "att0": jnp.ones((self.behavior_len,), jnp.float32),
             "mlp": [init_linear(k, (dims[i], dims[i + 1]), "glorot")
                     for i, k in enumerate(keys)],
@@ -135,11 +156,16 @@ class SparseCTR:
         return h[:, 0].astype(jnp.float32)   # logits
 
     def apply(self, params: dict, batch: SparseBatch, mesh: Mesh, *,
-              train: bool = False,
-              key: Optional[jax.Array] = None) -> jax.Array:
+              train: bool = False, key: Optional[jax.Array] = None,
+              table_group: int = 1) -> jax.Array:
+        """table_group > 1: params["item_table"] is grouped 128-lane lines
+        (pack_table_grouped layout) — lookups pass group/width through."""
+        g = table_group
+        w = self.emb_dim if g > 1 else 0
         item = sharded_lookup(params["item_table"], batch.item_ids, mesh,
-                              dedup_cap=self.lookup_dedup_cap)
-        if self.pooling == "mean":
+                              dedup_cap=self.lookup_dedup_cap, width=w,
+                              group=g)
+        if self.pooling == "mean" and g == 1:
             # fused gather+pool: the [B, T, D] behavior block never leaves
             # the lookup exchange (T× ICI cut on sharded meshes; the Pallas
             # fused gather+pool kernel on a single device where shapes fit)
@@ -149,8 +175,11 @@ class SparseCTR:
             return self._tower(params, batch.user_profile, pooled, item,
                                batch.ctx, train=train, key=key)
         # DIN attention needs the per-position rows: full sharded gather
+        # (grouped tables take this path for mean pooling too — the pooled
+        # fast path has no grouped-line variant)
         behaviors = sharded_lookup(params["item_table"], batch.behavior_ids,
-                                   mesh, dedup_cap=self.lookup_dedup_cap)
+                                   mesh, dedup_cap=self.lookup_dedup_cap,
+                                   width=w, group=g)
         mask = (batch.behavior_ids >= 0).astype(jnp.float32)
         return self.apply_pooled(params, batch.user_profile, behaviors, item,
                                  batch.ctx, mask, train=train, key=key)

@@ -59,10 +59,15 @@ class TrainedSparseRanker:
     # exchange (0 = every batch fit lookup_dedup_cap; nonzero = grow the cap)
     acc: object = dataclasses.field(default=None, repr=False)
     lookup_overflow_max: int = 0
+    # >1: params["item_table"] is grouped packed lines [V_pad/G, 128]
+    # row-sharded over `model` (very large small-D vocabs stay in line
+    # layout end-to-end — mirror of TrainedScanned.packed_group)
+    packed_group: int = 1
 
     def predict(self, sample: SparseSample, batch_size: int = 8192
                 ) -> np.ndarray:
-        fn = make_sharded_predict(self.model, self.mesh)
+        fn = make_sharded_predict(self.model, self.mesh,
+                                  table_group=self.packed_group)
         bsh = batch_shardings(self.mesh)
         n = sample.rows
         d = self.mesh.shape["data"]
@@ -121,30 +126,59 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
         cfg.solver, schedule, l2=cfg.l2, weight_decay=cfg.weight_decay,
         momentum=cfg.momentum, beta1=cfg.beta1, beta2=cfg.beta2,
         epsilon=cfg.epsilon)
-    params = model.init_params(jax.random.key(cfg.seed), mesh)
-    psh = param_shardings(params, mesh)
-    params = jax.device_put(params, psh)
     sparse = table_opt is not None
     packed = sparse and table_opt.update_mode in ("fused", "runfused",
                                                   "fused2")
+    # grouped 128-lane lines: `fused` at small D (G = 128//(D+1) > 1)
+    # stores/updates the local tables in line layout — BASELINE #5's
+    # multi-chip fast path (3.7 GB/device at 100M × 16 on m=2, vs 25.6 GB
+    # packed one-row-per-line)
+    G = 1
+    if packed and table_opt.update_mode == "fused":
+        from goctr_tpu.ops.pallas.row_optimizer import group_size
+        G = group_size(model.emb_dim)
+    # very large grouped vocabs: init the line layout directly (no [V, D]
+    # intermediate) and keep it end-to-end — mirror of the scanned
+    # trainer's grouped-resident mode
+    from goctr_tpu.parallel.scanned import GROUPED_RESIDENT_MIN_V
+    resident = G > 1 and model.item_vocab >= GROUPED_RESIDENT_MIN_V
+    params = model.init_params(jax.random.key(cfg.seed), mesh,
+                               table_group=G if resident else 1)
+    psh = param_shardings(params, mesh)
+    params = jax.device_put(params, psh)
     acc = None
     if sparse:
         from goctr_tpu.parallel.train import make_sharded_sparse_train_step
         dense = {k: v for k, v in params.items() if k != "item_table"}
         opt_state = solver.init(dense)
-        acc = jax.device_put(
-            jnp.zeros((params["item_table"].shape[0],), jnp.float32),
-            NamedSharding(mesh, P("model")))
-        if packed:
+        if packed and model.emb_dim >= 128:
+            raise ValueError("packed update modes require emb_dim < 128")
+        if packed and G > 1 and not resident:
+            # small-vocab grouped (tests, smoke): pack the STANDARD init
+            # draw into lines (identical weights to the dedup baseline —
+            # parity tests depend on it), padded to a m·G row multiple
+            from goctr_tpu.ops.pallas.row_optimizer import pack_table_grouped
+            m_sh = mesh.shape["model"]
+            w = params["item_table"]
+            v_pad = -(-w.shape[0] // (m_sh * G)) * (m_sh * G)
+            if v_pad > w.shape[0]:
+                w = jnp.concatenate(
+                    [w, jnp.zeros((v_pad - w.shape[0], model.emb_dim),
+                                  jnp.float32)])
+            params["item_table"] = jax.jit(
+                pack_table_grouped,
+                out_shardings=NamedSharding(mesh, P("model", None)))(w)
+        elif packed and G == 1:
             # packed [V_pad, 128] (w | acc | pad) local-table layout: the
             # forward gather lane-slices (sharded_lookup width=D) and the
             # Pallas RMW kernel updates weights + adagrad acc in one pass
-            if model.emb_dim >= 128:
-                raise ValueError("packed update modes require emb_dim < 128")
             from goctr_tpu.ops.pallas.row_optimizer import pack_table
             params["item_table"] = jax.device_put(
                 pack_table(params["item_table"]),
                 NamedSharding(mesh, P("model", None)))
+        acc = jax.device_put(
+            jnp.zeros((params["item_table"].shape[0],), jnp.float32),
+            NamedSharding(mesh, P("model")))
         step = make_sharded_sparse_train_step(model, solver, mesh, table_opt)
     else:
         opt_state = solver.init(params)
@@ -200,7 +234,29 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
         if cfg.early_stop and no_improve >= cfg.early_stop:
             break
 
-    if packed:
+    packed_group = 1
+    if packed and G > 1:
+        if resident:
+            packed_group = G      # stays in line layout end-to-end
+        else:
+            # export standard layout via a per-shard unpack (each model
+            # shard's Lm·G rows unpack locally; no cross-shard traffic)
+            from functools import partial as _partial
+            from goctr_tpu.ops.pallas.row_optimizer import (
+                unpack_table_grouped)
+
+            @_partial(jax.shard_map, mesh=mesh,
+                      in_specs=(P("model", None),),
+                      out_specs=(P("model", None), P("model")),
+                      check_vma=False)
+            def _unpack(lines):
+                return unpack_table_grouped(lines, lines.shape[0] * G,
+                                            model.emb_dim)
+
+            w, acc_lane = _unpack(params["item_table"])
+            params = dict(params, item_table=w)
+            acc = acc_lane
+    elif packed:
         # export the standard layout: [V_pad, D] table + [V_pad] adagrad
         # accumulator (predict and checkpoints see no packing)
         from goctr_tpu.ops.pallas.row_optimizer import unpack_table
@@ -211,4 +267,5 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
     return TrainedSparseRanker(model=model, params=params, mesh=mesh,
                                loss_curve=loss_curve,
                                epoch_times=epoch_times, opt_state=opt_state,
-                               acc=acc, lookup_overflow_max=overflow_max)
+                               acc=acc, lookup_overflow_max=overflow_max,
+                               packed_group=packed_group)

@@ -75,10 +75,12 @@ def make_sharded_train_step(model: SparseCTR, solver: optax.GradientTransformati
     return step
 
 
-def make_sharded_predict(model: SparseCTR, mesh: Mesh) -> Callable:
+def make_sharded_predict(model: SparseCTR, mesh: Mesh,
+                         table_group: int = 1) -> Callable:
     @jax.jit
     def predict(params, batch: SparseBatch):
-        return jax.nn.sigmoid(model.apply(params, batch, mesh, train=False))
+        return jax.nn.sigmoid(model.apply(params, batch, mesh, train=False,
+                                          table_group=table_group))
     return predict
 
 
@@ -150,11 +152,17 @@ def make_sharded_sparse_train_step(model: SparseCTR,
     asserted across topologies on the virtual mesh
     (tests/test_sparse_trainer.py, __graft_entry__.dryrun_multichip).
     """
+    from goctr_tpu.ops.pallas.row_optimizer import group_size
     from goctr_tpu.ops.scatter import scatter_add_rows
     from goctr_tpu.ops.segsum import _cumsum_rows, sorted_run_sums
 
     D = model.emb_dim
     packed = topt.update_mode in ("fused", "runfused", "fused2")
+    # grouped 128-lane lines: `fused` at small D stores G = 128//(D+1)
+    # (w | acc) row-slots per line — same layout as the single-chip
+    # grouped-resident trainer (BASELINE #5: 3.7 GB/device at 100M × 16
+    # on m=2 instead of 25.6 GB packed 1-row; BENCH_NOTES sharded math)
+    G = group_size(D) if topt.update_mode == "fused" else 1
     d_shards = mesh.shape[DATA_AXIS]
 
     def loss_fn(dense, emb_b, emb_i, batch: SparseBatch, key):
@@ -176,8 +184,9 @@ def make_sharded_sparse_train_step(model: SparseCTR,
     def table_update(local_table, local_acc, ids, g):
         """ids [n/d] GLOBAL int32 (−1 pads), g [n/d, D] — one data shard's
         flat row gradients. Stages 1-3 are replicated along `model` (cheap
-        vs. moving raw rows); stage 4 touches only this shard's rows."""
-        per_shard = local_table.shape[0]
+        vs. moving raw rows); stage 4 touches only this shard's rows. For
+        grouped mode (G > 1) local_table is [Lm, 128] lines = Lm·G rows."""
+        per_shard = local_table.shape[0] * G      # rows per model shard
         shard = jax.lax.axis_index(MODEL_AXIS)
         n_model = mesh.shape[MODEL_AXIS]
         V = per_shard * n_model                   # padded global vocab
@@ -232,6 +241,34 @@ def make_sharded_sparse_train_step(model: SparseCTR,
         n2 = tgt.shape[0]
         pos2 = jnp.arange(n2, dtype=jnp.int32)
         rows = jnp.where(mine[:, None], rows, 0.0)
+        if packed and G > 1:
+            # grouped lines: distinct row targets may share a 128-lane
+            # line — lane-place each row's (sum | ‖sum‖²) into its group
+            # slot, accumulate same-line rows with a second scatter-free
+            # run-sum pass over LOCAL line ids, and RMW once per unique
+            # line (per-group adagrad via the MXU spread matmul) — the
+            # sharded twin of the scanned trainer's grouped fused branch.
+            from goctr_tpu.ops.pallas.row_optimizer import (
+                LANES, apply_line_updates)
+            Lm = local_table.shape[0]             # lines on this shard
+            nsq = jnp.sum(rows * rows, axis=1, keepdims=True)
+            oh = (jax.nn.one_hot(rel % G, G, dtype=jnp.float32)
+                  * mine[:, None])                              # [n2, G]
+            block = oh[:, :, None] * jnp.concatenate(
+                [rows, nsq], axis=1)[:, None, :]                # [n2,G,D+1]
+            upd = jnp.zeros((n2, LANES), jnp.float32)
+            upd = upd.at[:, :G * (D + 1)].set(
+                block.reshape(n2, G * (D + 1)))
+            lkey = jnp.where(mine, rel // G, Lm + pos2).astype(jnp.int32)
+            lorder = jnp.argsort(lkey)
+            ltgt, lrows = sorted_run_sums(
+                jnp.take(lkey, lorder), jnp.take(upd, lorder, axis=0),
+                junk_base=Lm + n2 + 1)
+            local_table = apply_line_updates(
+                local_table, ltgt.astype(jnp.int32), lrows, lr=topt.lr,
+                d=D, kind=topt.kind, eps=topt.eps, skip_ge=Lm,
+                interpret=topt.pallas_interpret)
+            return local_table, local_acc, over
         if packed:
             from goctr_tpu.ops.pallas.row_optimizer import (
                 apply_row_updates, pack_grads)
@@ -267,10 +304,10 @@ def make_sharded_sparse_train_step(model: SparseCTR,
         dense = {k: v for k, v in params.items() if k != "item_table"}
         emb_b, over_b = sharded_lookup(table, batch.behavior_ids, mesh,
                                        dedup_cap=cap, with_overflow=True,
-                                       width=width)
+                                       width=width, group=G)
         emb_i, over_i = sharded_lookup(table, batch.item_ids, mesh,
                                        dedup_cap=cap, with_overflow=True,
-                                       width=width)
+                                       width=width, group=G)
         loss, (g_dense, g_b, g_i) = grad_fn(dense, emb_b, emb_i, batch, key)
 
         updates, opt_state = solver.update(g_dense, opt_state, dense)
