@@ -172,6 +172,118 @@ def load_checkpoint(path: str | Path) -> TrainedRanker:
         _predict_fn=_make_predict_fn(model, info, meta["behavior_len"]))
 
 
+# --------------------------------------------- sharded-sparse checkpoints ---
+
+def save_sparse_checkpoint(path: str | Path, model, dense_params: dict,
+                           table_w: np.ndarray, table_acc: np.ndarray,
+                           loss_curve: list, opt_state=None,
+                           trainer_config=None, table_opt=None) -> None:
+    """Checkpoint a (possibly mid-training) sharded SparseCTR run
+    (VERDICT r4 next-#4): plain host-layout [vocab, D] table + [vocab]
+    row-wise adagrad accumulator — callers export from whatever packed /
+    grouped device layout they hold (TrainedSparseRanker.save) — plus
+    dense params, dense-optimizer state, loss curve, and the trainer +
+    table-optimizer configs needed to resume. Topology-independent: load
+    into any (data, model) mesh."""
+    import jax
+
+    path = Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    meta = {
+        "model_config": {
+            "item_vocab": model.item_vocab, "emb_dim": model.emb_dim,
+            "u_profile_dim": model.u_profile_dim, "ctx_dim": model.ctx_dim,
+            "behavior_len": model.behavior_len,
+            "hidden": list(model.hidden), "activation": model.activation,
+            "dropout_rate": model.dropout_rate,
+            "lookup_dedup_cap": model.lookup_dedup_cap,
+            "pooling": model.pooling,
+        },
+        "loss_curve": [float(x) for x in loss_curve],
+        "trainer_config": (dataclasses.asdict(trainer_config)
+                           if trainer_config is not None else None),
+        "table_opt": (dataclasses.asdict(table_opt)
+                      if table_opt is not None else None),
+    }
+    (path / "meta.json").write_text(json.dumps(meta))
+    np.savez(path / "dense.npz", **_flatten_params(dense_params))
+    np.savez(path / "table.npz", table=np.asarray(table_w),
+             acc=np.asarray(table_acc))
+    if opt_state is not None:
+        leaves = jax.tree.leaves(opt_state)
+        np.savez(path / "opt_state.npz",
+                 **{str(i): np.asarray(x) for i, x in enumerate(leaves)})
+
+
+def load_sparse_checkpoint(path: str | Path, mesh):
+    """Load a sparse checkpoint onto `mesh` as a TrainedSparseRanker in
+    PLAIN layout ([V_pad, D] table row-sharded over `model`, [V_pad] acc);
+    pass it to train_sparse(resume_from=...) — the trainer re-packs into
+    its packed/grouped device layout (with the restored accumulator) and
+    replays the shuffle/PRNG streams for bit-exact continuation. Returns
+    (ranker, trainer_config | None, table_opt | None)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from goctr_tpu.parallel.sparse_ctr import SparseCTR
+    from goctr_tpu.parallel.sparse_trainer import TrainedSparseRanker
+
+    path = Path(path)
+    meta = json.loads((path / "meta.json").read_text())
+    mc = dict(meta["model_config"])
+    mc["hidden"] = tuple(mc["hidden"])
+    model = SparseCTR(**mc)
+    with np.load(path / "dense.npz") as z:
+        dense = _unflatten_params(dict(z.items()))
+    with np.load(path / "table.npz") as z:
+        w = z["table"].astype(np.float32)
+        a = z["acc"].astype(np.float32)
+    m_sh = mesh.shape["model"]
+    v_pad = -(-w.shape[0] // m_sh) * m_sh
+    if v_pad > w.shape[0]:
+        w = np.concatenate(
+            [w, np.zeros((v_pad - w.shape[0], w.shape[1]), np.float32)])
+        a = np.concatenate([a, np.zeros(v_pad - a.shape[0], np.float32)])
+    params = {k: jax.device_put(v, NamedSharding(mesh, P()))
+              for k, v in jax.tree.map(jnp.asarray, dense).items()}
+    params["item_table"] = jax.device_put(
+        jnp.asarray(w), NamedSharding(mesh, P("model", None)))
+    acc = jax.device_put(jnp.asarray(a), NamedSharding(mesh, P("model")))
+
+    trainer_config = table_opt = None
+    tc = meta.get("trainer_config")
+    if tc is not None:
+        from goctr_tpu.models.trainer import TrainerConfig
+        trainer_config = TrainerConfig(**tc)
+    to = meta.get("table_opt")
+    if to is not None:
+        from goctr_tpu.parallel.table_opt import TableOptConfig
+        table_opt = TableOptConfig(**to)
+
+    opt_state = None
+    opt_path = path / "opt_state.npz"
+    if opt_path.exists() and trainer_config is not None:
+        from goctr_tpu.optim.optimizers import make_solver
+        from goctr_tpu.optim.schedules import make_schedule
+        cfg = trainer_config
+        solver = make_solver(
+            cfg.solver, make_schedule(cfg.lr_schedule, cfg.lr, cfg.power_t),
+            l2=cfg.l2, weight_decay=cfg.weight_decay, momentum=cfg.momentum,
+            beta1=cfg.beta1, beta2=cfg.beta2, epsilon=cfg.epsilon)
+        template = solver.init(
+            {k: v for k, v in params.items() if k != "item_table"})
+        treedef = jax.tree.structure(template)
+        with np.load(opt_path) as z:
+            leaves = [jnp.asarray(z[str(i)]) for i in range(len(z.files))]
+        opt_state = jax.tree.unflatten(treedef, leaves)
+
+    ranker = TrainedSparseRanker(
+        model=model, params=params, mesh=mesh,
+        loss_curve=meta["loss_curve"], epoch_times=[],
+        opt_state=opt_state, acc=acc)
+    return ranker, trainer_config, table_opt
+
+
 def _model_config_dict(model) -> dict:
     d = dataclasses.asdict(model)
     d.pop("compute_dtype", None)

@@ -157,15 +157,18 @@ class SparseCTR:
 
     def apply(self, params: dict, batch: SparseBatch, mesh: Mesh, *,
               train: bool = False, key: Optional[jax.Array] = None,
-              table_group: int = 1) -> jax.Array:
+              table_group: int = 1, table_packed: bool = False) -> jax.Array:
         """table_group > 1: params["item_table"] is grouped 128-lane lines
-        (pack_table_grouped layout) — lookups pass group/width through."""
+        (pack_table_grouped layout) — lookups pass group/width through.
+        table_packed: one-row-per-line [V, 128] (w | acc | pad) layout —
+        lookups lane-slice the first emb_dim lanes (mid-training predict
+        over the fused G=1 layout)."""
         g = table_group
-        w = self.emb_dim if g > 1 else 0
+        w = self.emb_dim if (g > 1 or table_packed) else 0
         item = sharded_lookup(params["item_table"], batch.item_ids, mesh,
                               dedup_cap=self.lookup_dedup_cap, width=w,
                               group=g)
-        if self.pooling == "mean" and g == 1:
+        if self.pooling == "mean" and g == 1 and not table_packed:
             # fused gather+pool: the [B, T, D] behavior block never leaves
             # the lookup exchange (T× ICI cut on sharded meshes; the Pallas
             # fused gather+pool kernel on a single device where shapes fit)

@@ -63,11 +63,30 @@ class TrainedSparseRanker:
     # row-sharded over `model` (very large small-D vocabs stay in line
     # layout end-to-end — mirror of TrainedScanned.packed_group)
     packed_group: int = 1
+    # True: params["item_table"] is the one-row-per-line [V_pad, 128]
+    # (w | acc | pad) fused layout (mid-training snapshots only; finished
+    # rankers export plain [V_pad, D])
+    table_packed: bool = False
+
+    def save(self, path, trainer_config=None, table_opt=None) -> None:
+        """Host-exported npz+json checkpoint (models/io.py sparse tier):
+        plain [vocab, D] table + [vocab] adagrad acc regardless of the
+        in-memory layout, dense params, optimizer state, loss curve."""
+        from goctr_tpu.models.io import save_sparse_checkpoint
+        dense = {k: v for k, v in self.params.items() if k != "item_table"}
+        w, a = _host_export_table(
+            self.params["item_table"], self.acc, self.model.item_vocab,
+            self.model.emb_dim, self.packed_group, self.table_packed)
+        save_sparse_checkpoint(path, self.model, dense, w, a,
+                               self.loss_curve, opt_state=self.opt_state,
+                               trainer_config=trainer_config,
+                               table_opt=table_opt)
 
     def predict(self, sample: SparseSample, batch_size: int = 8192
                 ) -> np.ndarray:
         fn = make_sharded_predict(self.model, self.mesh,
-                                  table_group=self.packed_group)
+                                  table_group=self.packed_group,
+                                  table_packed=self.table_packed)
         bsh = batch_shardings(self.mesh)
         n = sample.rows
         d = self.mesh.shape["data"]
@@ -81,6 +100,20 @@ class TrainedSparseRanker:
             scores = np.asarray(fn(self.params, batch))
             out[s:e] = scores[:e - s]
         return out
+
+
+def _host_export_table(table, acc, vocab: int, d: int, packed_group: int,
+                       table_packed: bool):
+    """Any in-memory table layout → plain host ([vocab, D] w, [vocab] acc)."""
+    if packed_group > 1:
+        from goctr_tpu.ops.pallas.row_optimizer import unpack_table_grouped_np
+        return unpack_table_grouped_np(np.asarray(table), vocab, d)
+    arr = np.asarray(table)
+    if table_packed:
+        return arr[:vocab, :d], np.ascontiguousarray(arr[:vocab, d])
+    a = (np.asarray(acc)[:vocab] if acc is not None
+         else np.zeros(vocab, np.float32))
+    return arr[:vocab], a
 
 
 def _put_batch(sample: SparseSample, sl: slice, pad: int, bsh) -> SparseBatch:
@@ -102,7 +135,11 @@ def _put_batch(sample: SparseSample, sl: slice, pad: int, bsh) -> SparseBatch:
 
 def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
                  cfg: Optional[TrainerConfig] = None,
-                 table_opt=None) -> TrainedSparseRanker:
+                 table_opt=None,
+                 resume_from: Optional[TrainedSparseRanker] = None,
+                 checkpoint_every: int = 0,
+                 checkpoint_path=None,
+                 epoch_hook=None) -> TrainedSparseRanker:
     """Multi-chip training over a (data, model) mesh.
 
     table_opt (parallel/table_opt.TableOptConfig) switches the embedding
@@ -112,6 +149,21 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
     (100M rows). table_opt=None keeps the dense path (table trained by the
     same optax solver as the tower; fine at small vocab, 3 table-sized
     extra buffers).
+
+    resume_from (VERDICT r4 next-#4): a prior TrainedSparseRanker — from a
+    finished run or models/io.load_sparse_checkpoint — restores dense
+    params, table, adagrad accumulator, and dense-optimizer state, and
+    REPLAYS the shuffle/dropout streams + early-stop state so the resumed
+    trajectory is bit-identical to the uninterrupted one (asserted in
+    tests/test_sparse_trainer.py). cfg.epochs counts ADDITIONAL epochs.
+
+    checkpoint_every/checkpoint_path: every k epochs write a full
+    host-exported checkpoint (plain-layout table regardless of the
+    in-memory packed/grouped layout) via models/io.save_sparse_checkpoint.
+
+    epoch_hook: callable(epoch, cost, ranker) run after each epoch with a
+    LIVE snapshot ranker (current in-training params, layout-aware
+    predict) — the mid-training eval surface.
     """
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -142,46 +194,79 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
     # trainer's grouped-resident mode
     from goctr_tpu.parallel.scanned import GROUPED_RESIDENT_MIN_V
     resident = G > 1 and model.item_vocab >= GROUPED_RESIDENT_MIN_V
-    params = model.init_params(jax.random.key(cfg.seed), mesh,
-                               table_group=G if resident else 1)
+    done_epochs = len(resume_from.loss_curve) if resume_from is not None \
+        else 0
+    if resume_from is not None:
+        params = {k: v for k, v in resume_from.params.items()
+                  if k != "item_table"}
+        params["item_table"] = resume_from.params["item_table"]
+        resume_acc = resume_from.acc
+        resumed_lines = resume_from.packed_group
+    else:
+        params = model.init_params(jax.random.key(cfg.seed), mesh,
+                                   table_group=G if resident else 1)
+        resume_acc, resumed_lines = None, 0
     psh = param_shardings(params, mesh)
     params = jax.device_put(params, psh)
     acc = None
     if sparse:
         from goctr_tpu.parallel.train import make_sharded_sparse_train_step
         dense = {k: v for k, v in params.items() if k != "item_table"}
-        opt_state = solver.init(dense)
+        opt_state = (resume_from.opt_state
+                     if resume_from is not None
+                     and resume_from.opt_state is not None
+                     else solver.init(dense))
         if packed and model.emb_dim >= 128:
             raise ValueError("packed update modes require emb_dim < 128")
-        if packed and G > 1 and not resident:
-            # small-vocab grouped (tests, smoke): pack the STANDARD init
-            # draw into lines (identical weights to the dedup baseline —
-            # parity tests depend on it), padded to a m·G row multiple
+        if resume_from is not None and resumed_lines > 1 and not (
+                packed and G == resumed_lines):
+            raise ValueError(
+                "resume_from holds grouped lines but the target layout "
+                "differs — export it (ranker.save + load) first")
+        # lines already in place: grouped-resident fresh init, or an
+        # in-memory resume of a grouped-resident ranker
+        already_lines = resumed_lines > 1 or (resume_from is None
+                                              and resident)
+        if packed and G > 1 and not already_lines:
+            # pack the plain [V?, D] table (+ acc when resuming) into
+            # grouped lines, padded to a m·G row multiple. Fresh
+            # small-vocab runs pack the STANDARD init draw (identical
+            # weights to the dedup baseline — parity tests depend on it).
             from goctr_tpu.ops.pallas.row_optimizer import pack_table_grouped
             m_sh = mesh.shape["model"]
             w = params["item_table"]
+            a = (resume_acc if resume_acc is not None
+                 else jnp.zeros((w.shape[0],), jnp.float32))
+            a = jnp.asarray(a, jnp.float32)
             v_pad = -(-w.shape[0] // (m_sh * G)) * (m_sh * G)
             if v_pad > w.shape[0]:
                 w = jnp.concatenate(
                     [w, jnp.zeros((v_pad - w.shape[0], model.emb_dim),
                                   jnp.float32)])
+                a = jnp.concatenate(
+                    [a, jnp.zeros((v_pad - a.shape[0],), jnp.float32)])
             params["item_table"] = jax.jit(
                 pack_table_grouped,
-                out_shardings=NamedSharding(mesh, P("model", None)))(w)
+                out_shardings=NamedSharding(mesh, P("model", None)))(w, a)
         elif packed and G == 1:
             # packed [V_pad, 128] (w | acc | pad) local-table layout: the
             # forward gather lane-slices (sharded_lookup width=D) and the
             # Pallas RMW kernel updates weights + adagrad acc in one pass
             from goctr_tpu.ops.pallas.row_optimizer import pack_table
             params["item_table"] = jax.device_put(
-                pack_table(params["item_table"]),
+                pack_table(params["item_table"], resume_acc),
                 NamedSharding(mesh, P("model", None)))
         acc = jax.device_put(
-            jnp.zeros((params["item_table"].shape[0],), jnp.float32),
+            (jnp.asarray(resume_acc, jnp.float32)
+             if not packed and resume_acc is not None
+             else jnp.zeros((params["item_table"].shape[0],), jnp.float32)),
             NamedSharding(mesh, P("model")))
         step = make_sharded_sparse_train_step(model, solver, mesh, table_opt)
     else:
-        opt_state = solver.init(params)
+        opt_state = (resume_from.opt_state
+                     if resume_from is not None
+                     and resume_from.opt_state is not None
+                     else solver.init(params))
         step = make_sharded_train_step(model, solver, mesh)
     opt_state = jax.device_put(opt_state, param_shardings(opt_state, mesh))
     bsh = batch_shardings(mesh)
@@ -193,6 +278,31 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
     epoch_times: list[float] = []
     overflow_max = 0
     n_batches = -(-n // bs)
+    if done_epochs:
+        # replay the consumed host-shuffle and PRNG-key streams plus the
+        # early-stop state so the resumed run continues the EXACT
+        # uninterrupted trajectory (bit-parity asserted in tests)
+        for _ in range(done_epochs):
+            if cfg.shuffle:
+                rng.permutation(n)
+        for _ in range(done_epochs * n_batches):
+            key, _ = jax.random.split(key)
+        for cost in resume_from.loss_curve:
+            if cost < best - cfg.tol:
+                best, no_improve = cost, 0
+            else:
+                no_improve += 1
+
+    def _live_ranker() -> TrainedSparseRanker:
+        return TrainedSparseRanker(
+            model=model, params=params, mesh=mesh,
+            loss_curve=(resume_from.loss_curve if resume_from is not None
+                        else []) + loss_curve,
+            epoch_times=epoch_times, opt_state=opt_state, acc=acc,
+            lookup_overflow_max=overflow_max,
+            packed_group=G if (packed and G > 1) else 1,
+            table_packed=packed and G == 1)
+
     for epoch in range(cfg.epochs):
         te = time.perf_counter()
         order = rng.permutation(n) if cfg.shuffle else np.arange(n)
@@ -231,6 +341,12 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
         if cfg.verbose:
             log.info("epoch %d | cost %.6f | %.2fs", epoch, cost,
                      epoch_times[-1])
+        if epoch_hook is not None:
+            epoch_hook(done_epochs + epoch, cost, _live_ranker())
+        if (checkpoint_every and checkpoint_path
+                and (epoch + 1) % checkpoint_every == 0):
+            _live_ranker().save(checkpoint_path, trainer_config=cfg,
+                                table_opt=table_opt)
         if cfg.early_stop and no_improve >= cfg.early_stop:
             break
 
@@ -264,8 +380,10 @@ def train_sparse(model: SparseCTR, sample: SparseSample, mesh: Mesh,
         params = dict(params, item_table=jax.device_put(
             w, NamedSharding(mesh, P("model", None))))
         acc = jax.device_put(acc_lane, NamedSharding(mesh, P("model")))
+    full_curve = (resume_from.loss_curve if resume_from is not None
+                  else []) + loss_curve
     return TrainedSparseRanker(model=model, params=params, mesh=mesh,
-                               loss_curve=loss_curve,
+                               loss_curve=full_curve,
                                epoch_times=epoch_times, opt_state=opt_state,
                                acc=acc, lookup_overflow_max=overflow_max,
                                packed_group=packed_group)

@@ -76,11 +76,13 @@ def make_sharded_train_step(model: SparseCTR, solver: optax.GradientTransformati
 
 
 def make_sharded_predict(model: SparseCTR, mesh: Mesh,
-                         table_group: int = 1) -> Callable:
+                         table_group: int = 1,
+                         table_packed: bool = False) -> Callable:
     @jax.jit
     def predict(params, batch: SparseBatch):
         return jax.nn.sigmoid(model.apply(params, batch, mesh, train=False,
-                                          table_group=table_group))
+                                          table_group=table_group,
+                                          table_packed=table_packed))
     return predict
 
 

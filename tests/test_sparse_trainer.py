@@ -436,3 +436,54 @@ def test_sharded_grouped_scaled_shapes_and_overflow(mesh, monkeypatch):
                                                update_mode="fused",
                                                exchange_cap=1024))
     assert r2.lookup_overflow_max > 0
+
+
+def test_sharded_resume_bit_parity_and_checkpoint(mesh, tmp_path):
+    """VERDICT r4 next-#4: train k epochs → checkpoint → load → resume must
+    reproduce the UNINTERRUPTED run bit-for-bit (table, adagrad acc, dense
+    params), for both the grouped-fused and dedup sharded paths. Also
+    exercises checkpoint_every + epoch_hook (mid-training eval surface)."""
+    from goctr_tpu.models.io import load_sparse_checkpoint
+    from goctr_tpu.parallel.table_opt import TableOptConfig
+
+    vocab = 200
+    train = _planted(4000, vocab, seed=0)
+    model = SparseCTR(item_vocab=vocab, emb_dim=8, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(32,))
+
+    for mode in ("fused", "dedup"):
+        topt = TableOptConfig(kind="adagrad", lr=0.1, update_mode=mode)
+        cfg4 = TrainerConfig(batch_size=1024, epochs=4, early_stop=0,
+                             lr=1e-2, l2=0.0, seed=7)
+        full = train_sparse(model, train, mesh, cfg4, table_opt=topt)
+
+        hook_calls = []
+        ck = tmp_path / f"ck_{mode}"
+        cfg2 = TrainerConfig(batch_size=1024, epochs=2, early_stop=0,
+                             lr=1e-2, l2=0.0, seed=7)
+        part = train_sparse(
+            model, train, mesh, cfg2, table_opt=topt,
+            checkpoint_every=2, checkpoint_path=ck,
+            epoch_hook=lambda ep, cost, r: hook_calls.append(
+                (ep, cost, float(r.predict(train, batch_size=2048)[0]))))
+        assert len(hook_calls) == 2
+        assert all(np.isfinite(c[2]) for c in hook_calls)
+        # the mid-training hook sees the live loss trajectory
+        np.testing.assert_allclose([c[1] for c in hook_calls],
+                                   part.loss_curve, rtol=1e-6)
+
+        loaded, tc, to = load_sparse_checkpoint(ck, mesh)
+        assert tc is not None and to is not None and to.update_mode == mode
+        assert len(loaded.loss_curve) == 2
+        resumed = train_sparse(model, train, mesh, cfg2, table_opt=to,
+                               resume_from=loaded)
+        assert len(resumed.loss_curve) == 4
+        np.testing.assert_array_equal(resumed.loss_curve, full.loss_curve)
+        np.testing.assert_array_equal(
+            np.asarray(resumed.params["item_table"])[:vocab],
+            np.asarray(full.params["item_table"])[:vocab])
+        np.testing.assert_array_equal(np.asarray(resumed.acc)[:vocab],
+                                      np.asarray(full.acc)[:vocab])
+        for k in ("att0",):
+            np.testing.assert_array_equal(np.asarray(resumed.params[k]),
+                                          np.asarray(full.params[k]))
