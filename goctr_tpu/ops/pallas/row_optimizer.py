@@ -751,6 +751,122 @@ def _apply_line_updates_jnp(table_lines, line_ids, line_updates, spread,
                                         unique_indices=True)
 
 
+# ------------------------------------------------------- split RMW (r5) ---
+# The fused RMW kernel above is scalar-core DMA-ISSUE bound (~122 ns per
+# row for the read+write pair + ring sync, 8.2M rows/s measured r3). XLA's
+# fixed-function row gather reads the same rows at 57M rows/s (take,
+# BENCH_NOTES r3) — so the r5 split mode reads the current rows with ONE
+# jnp.take, does the adagrad math as plain vectorized XLA, and uses Pallas
+# only for what XLA cannot do fast: the scattered row WRITE-BACK. The
+# write-only kernel issues a single DMA per row (~half the issue work of
+# the RMW pair), with the whole [R, 128] source block already pipelined
+# into VMEM by the BlockSpec machinery.
+
+W_RING = 16
+
+
+def _scatter_kernel(ids_ref, rows_ref, tin_ref, tout_ref, w_sems, *,
+                    n_rows: int, skip_ge: int):
+    """Write rows_ref[j] → tout_ref[ids_ref[j]] for every real row of the
+    block. ids are pairwise distinct; ids >= skip_ge are skipped (may be
+    out of bounds). tin aliases tout so untouched rows persist."""
+    def wdma(j):
+        return pltpu.make_async_copy(
+            rows_ref.at[pl.ds(j, 1)], tout_ref.at[pl.ds(ids_ref[j], 1)],
+            w_sems.at[j % W_RING])
+
+    def body(j, outstanding):
+        slot = j % W_RING
+        bit = jax.lax.shift_left(jnp.int32(1), slot)
+        real = ids_ref[j] < skip_ge
+
+        @pl.when(real)
+        def _():
+            @pl.when((outstanding & bit) != 0)
+            def _wait_slot():
+                wdma(j).wait()          # drain previous copy on this slot
+            wdma(j).start()
+
+        return jnp.where(real, outstanding | bit, outstanding)
+
+    outstanding = jax.lax.fori_loop(0, n_rows, body, jnp.int32(0))
+
+    def drain(slot, carry):
+        bit = jax.lax.shift_left(jnp.int32(1), slot)
+
+        @pl.when((carry & bit) != 0)
+        def _():
+            pltpu.make_async_copy(
+                rows_ref.at[pl.ds(0, 1)], tout_ref.at[pl.ds(0, 1)],
+                w_sems.at[slot]).wait()   # descriptor shape-only (1, 128)
+        return carry
+
+    jax.lax.fori_loop(0, min(W_RING, n_rows), drain, outstanding)
+
+
+def scatter_rows_packed(table_packed, ids, new_rows,
+                        skip_ge: int | None = None,
+                        interpret: bool = False) -> jax.Array:
+    """table[ids[j]] = new_rows[j] for pairwise-distinct ids (< skip_ge);
+    rows with ids >= skip_ge are skipped (ids may point past the table).
+    The table buffer is aliased in place. new_rows [n, 128] f32."""
+    if skip_ge is None:
+        skip_ge = table_packed.shape[0]
+    if not interpret and jax.default_backend() != "tpu":
+        # junk ids route out of bounds → dropped by mode="drop"
+        safe = jnp.where(ids < skip_ge, ids, table_packed.shape[0])
+        return table_packed.at[safe].set(new_rows, mode="drop",
+                                         unique_indices=True)
+    n = ids.shape[0]
+    r = min(ROWS_PER_STEP, n)
+    if n % r:
+        raise ValueError(f"n={n} must be a multiple of {r}")
+    return pl.pallas_call(
+        functools.partial(_scatter_kernel, n_rows=r, skip_ge=skip_ge),
+        grid=(n // r,),
+        in_specs=[
+            pl.BlockSpec((r,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((r, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # table in (HBM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(table_packed.shape, jnp.float32),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((W_RING,))],
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(ids, new_rows, table_packed)
+
+
+def apply_row_updates_split(table_packed, ids, g_packed, lr, d: int,
+                            kind: str = "adagrad", eps: float = 1e-8,
+                            skip_ge: int | None = None,
+                            interpret: bool = False) -> jax.Array:
+    """Split-mode fused optimizer: identical math to apply_row_updates,
+    executed as take-read (XLA fast gather) + vectorized row math + the
+    write-only Pallas scatter. Wins whenever the RMW kernel is DMA-issue
+    bound (measured: see BENCH_NOTES r5)."""
+    v = table_packed.shape[0]
+    if skip_ge is None:
+        skip_ge = v
+    lane = jnp.arange(LANES)
+    m_w = (lane < d).astype(jnp.float32)
+    m_acc = (lane == d).astype(jnp.float32)
+    read_ids = jnp.minimum(ids, v - 1)
+    cur = jnp.take(table_packed, read_ids, axis=0)        # [n, 128]
+    if kind == "adagrad":
+        r_acc = cur + g_packed * m_acc
+        acc = jnp.sum(r_acc * m_acc, axis=1, keepdims=True)
+        scale = jnp.asarray(lr, jnp.float32) * jax.lax.rsqrt(acc + eps)
+        new = r_acc - scale * (g_packed * m_w)
+    else:
+        new = cur - jnp.asarray(lr, jnp.float32) * (g_packed * m_w)
+    return scatter_rows_packed(table_packed, ids, new, skip_ge=skip_ge,
+                               interpret=interpret)
+
+
 def pack_grads(g: jax.Array) -> jax.Array:
     """[n, D] row gradients → [n, 128] (g | ‖g‖² | 0) update rows.
     Lane-slice updates for the same tiling reason as pack_table."""

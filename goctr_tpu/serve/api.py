@@ -49,6 +49,14 @@ class RecApiServer:
             return 400, {"error": "userId must be an integer"}
         if not item_ids:
             return 400, {"error": "itemIdList is empty"}   # api.go:116
+        if hasattr(self.predictor, "rank_direct"):
+            # TPU-first path (serve/scorer.py): device-resident table +
+            # params; the request ships only ids, and concurrent requests
+            # micro-batch into one dispatch
+            pairs = self.predictor.rank_direct(
+                user_id, [int(i) for i in item_ids])
+            return 200, {"itemScoreList": [
+                {"itemId": i, "score": s} for i, s in pairs]}
         scores = Rank(Context(), self.predictor, user_id,
                       [int(i) for i in item_ids])
         return 200, {"itemScoreList": [

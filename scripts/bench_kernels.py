@@ -212,6 +212,16 @@ def bench_fused(reps: int = 8):
                 skip_ge=v if junkpct else None), None),
             tab, ids)[0]
 
+    from goctr_tpu.ops.pallas.row_optimizer import apply_row_updates_split
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_split(tab, g, ids):
+        return jax.lax.scan(
+            lambda t, i: (apply_row_updates_split(
+                t, i, g, lr=0.1, d=d,
+                skip_ge=v if junkpct else None), None),
+            tab, ids)[0]
+
     print(f"fused row-optimizer  V={v} n={n} D={d} junk={junkpct}%  "
           f"({reps} varied id sets, one dispatch; packed table carried "
           f"through the scan)")
@@ -224,7 +234,17 @@ def bench_fused(reps: int = 8):
     out = run(out, g, ids)                 # table was donated: reuse output
     cs = float(jnp.sum(out[:, :1]))
     dt = (time.perf_counter() - t0) / reps
-    print(f"{'pallas fused adagrad':28s} {dt * 1e3:9.3f} ms/call   "
+    print(f"{'pallas fused adagrad (RMW)':28s} {dt * 1e3:9.3f} ms/call   "
+          f"{nbytes / dt / 1e9:8.1f} GB/s   "
+          f"-> {n / dt / 1e6:.2f}M row-updates/s   "
+          f"(checksum {cs:.3e})")
+    out2 = run_split(out, g, ids)
+    print("warm checksum", float(jnp.sum(out2[:, :1])))
+    t0 = time.perf_counter()
+    out2 = run_split(out2, g, ids)
+    cs = float(jnp.sum(out2[:, :1]))
+    dt = (time.perf_counter() - t0) / reps
+    print(f"{'split take+math+scatter':28s} {dt * 1e3:9.3f} ms/call   "
           f"{nbytes / dt / 1e9:8.1f} GB/s   "
           f"-> {n / dt / 1e6:.2f}M row-updates/s   "
           f"(checksum {cs:.3e})")
@@ -281,6 +301,104 @@ def bench_segsum(reps: int = 8):
                 6 * nbytes, reps, consts=(g,))
 
 
+def bench_stages(reps: int = 4):
+    """Stage table of the CURRENT default fused+compact batch (bs=65536 →
+    n = bs·(T+1) = 2,162,688 update rows, V=10M, D=64) — VERDICT r4
+    next-#1 said round 5 would otherwise optimize blind. Cumulative stages
+    mirror parallel/scanned._table_update's fused+compact path, plus the
+    candidate replacement for the compaction rank-sort (flag cumsum +
+    searchsorted — no second 2.16M argsort)."""
+    import numpy as np
+
+    from goctr_tpu.ops.pallas.row_optimizer import pack_grads
+    from goctr_tpu.ops.segsum import _cumsum_rows
+
+    v, d = _arg("v", 10_000_000), _arg("d", 64)
+    bs = _arg("bs", 65536)
+    t = _arg("t", 32)
+    n = bs * (t + 1)
+    n = -(-n // 1024) * 1024
+    cap = _arg("cap", 380_928)          # ≈ measured uniques + 15%, 1024-mult
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import _zipf_ranks
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(np.stack(
+        [(_zipf_ranks(rng, (n,), v // 2) * 2_654_435_761) % v
+         for _ in range(reps)]).astype(np.int32))
+    g = jax.random.normal(jax.random.key(2), (n, d), jnp.float32)
+    table = jax.lax.broadcasted_iota(jnp.float32, (v, 128), 0) * 1e-6
+    nbytes = n * d * 4.0
+
+    def fwd_gather(tab, i):
+        return jnp.take(tab, i, axis=0)[:, :d]
+
+    def sort_only(g, i):
+        return jnp.sort(i)[:, None].astype(jnp.float32) * g[:1, :1]
+
+    def sort_take(g, i):
+        order = jnp.argsort(i)
+        return jnp.take(g, order, axis=0)
+
+    def sort_take_cumsum(g, i):
+        order = jnp.argsort(i)
+        c = _cumsum_rows(jnp.take(g, order, axis=0))
+        return c[-1:]
+
+    def compact_ranksort(g, i):
+        """Current compact front-end: 2nd argsort selects run-end rows."""
+        order = jnp.argsort(i)
+        s_ids = jnp.take(i, order)
+        c = _cumsum_rows(jnp.take(g, order, axis=0))
+        is_end = jnp.concatenate([s_ids[1:] != s_ids[:-1],
+                                  jnp.ones((1,), bool)])
+        real_end = is_end & (s_ids < v)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        sel = jnp.argsort(jnp.where(real_end, pos, n + pos))[:cap]
+        sel_real = jnp.take(real_end, sel)
+        c_sel = jnp.take(c, sel, axis=0)
+        prev = jnp.concatenate([jnp.zeros((1, d), c.dtype), c_sel[:-1]])
+        rows = jnp.where(sel_real[:, None], c_sel - prev, 0.0)
+        tgt = jnp.where(sel_real, jnp.take(s_ids, sel), v + 1 + pos[:cap])
+        return pack_grads(rows) + tgt[:, None].astype(jnp.float32)
+
+    def compact_searchsorted(g, i):
+        """Candidate: run-end positions are ALREADY ascending (ids sorted)
+        — rank = cumsum(flag); the k-th end position = searchsorted(rank,
+        k+1). Kills the second n-element argsort."""
+        order = jnp.argsort(i)
+        s_ids = jnp.take(i, order)
+        c = _cumsum_rows(jnp.take(g, order, axis=0))
+        is_end = jnp.concatenate([s_ids[1:] != s_ids[:-1],
+                                  jnp.ones((1,), bool)])
+        real_end = is_end & (s_ids < v)
+        rank = jnp.cumsum(real_end.astype(jnp.int32))
+        sel = jnp.searchsorted(
+            rank, jnp.arange(1, cap + 1, dtype=jnp.int32), side="left")
+        sel_real = jnp.arange(cap, dtype=jnp.int32) < rank[-1]
+        selc = jnp.minimum(sel, n - 1)
+        c_sel = jnp.take(c, selc, axis=0)
+        prev = jnp.concatenate([jnp.zeros((1, d), c.dtype), c_sel[:-1]])
+        rows = jnp.where(sel_real[:, None], c_sel - prev, 0.0)
+        tgt = jnp.where(sel_real, jnp.take(s_ids, selc),
+                        v + 1 + jnp.arange(cap, dtype=jnp.int32))
+        return pack_grads(rows) + tgt[:, None].astype(jnp.float32)
+
+    print(f"fused+compact stage table  V={v} n={n} (bs={bs} T={t}) D={d} "
+          f"cap={cap}  ({reps} varied id sets, one dispatch)")
+    _timed_scan(fwd_gather, (ids,), "fwd take [n,128] + slice",
+                n * 128 * 4.0, reps, consts=(table,))
+    _timed_scan(sort_only, (ids,), "argsort ids", n * 4.0, reps, consts=(g,))
+    _timed_scan(sort_take, (ids,), "+ row permute", 2 * nbytes, reps,
+                consts=(g,))
+    _timed_scan(sort_take_cumsum, (ids,), "+ blockwise cumsum", 4 * nbytes,
+                reps, consts=(g,))
+    _timed_scan(compact_ranksort, (ids,), "+ compact (rank-sort, CURRENT)",
+                5 * nbytes, reps, consts=(g,))
+    _timed_scan(compact_searchsorted, (ids,),
+                "+ compact (searchsorted, NEW)", 5 * nbytes, reps,
+                consts=(g,))
+
+
 def bench_rowgather(reps: int = 8):
     """Random-row gather from a packed [V, 128] table at bench scale:
     XLA's (1, D)-slice gather (the fused trainer's r2 forward path) vs
@@ -325,7 +443,8 @@ def main():
             continue
         fn = {"din": bench_din, "gather": bench_gather,
               "scatter": bench_scatter, "fused": bench_fused,
-              "rowgather": bench_rowgather, "segsum": bench_segsum}.get(which)
+              "rowgather": bench_rowgather, "segsum": bench_segsum,
+              "stages": bench_stages}.get(which)
         if fn is None:
             raise SystemExit(f"unknown bench {which!r}")
         try:
