@@ -198,6 +198,7 @@ def main() -> None:
                        update_mode=mode,
                        sorted_gather=sorted_gather,
                        gather_impl=_arg("gather", "take"),
+                       rmw_impl=_arg("rmw", "split"),
                        compact_cap=compact))
     if ranker.update_overflow_max:
         print(f"WARNING: compact_cap overflowed "

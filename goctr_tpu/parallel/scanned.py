@@ -305,13 +305,16 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
         G = group_size(D)
         if G == 1:
             # table is PACKED [V, 128] (w | acc | pad); one Pallas RMW
-            # pass applies both the weight step and the adagrad accumulator
+            # pass applies both the weight step and the adagrad
+            # accumulator — or, rmw_impl="split", take-read + vectorized
+            # math + write-only scatter (see TableOptConfig)
             from goctr_tpu.ops.pallas.row_optimizer import (
-                apply_row_updates, pack_grads)
-            table = apply_row_updates(table, tgt, pack_grads(rows),
-                                      lr=topt.lr, d=D,
-                                      kind=topt.kind, eps=topt.eps,
-                                      skip_ge=V)
+                apply_row_updates, apply_row_updates_split, pack_grads)
+            impl = (apply_row_updates_split
+                    if topt.rmw_impl == "split" else apply_row_updates)
+            table = impl(table, tgt, pack_grads(rows),
+                         lr=topt.lr, d=D, kind=topt.kind, eps=topt.eps,
+                         skip_ge=V)
             return table, acc, overflow
         # grouped lines (D small, e.g. BASELINE #5's 100M x 16): distinct
         # row targets may share a 128-lane line, so lane-place each row's

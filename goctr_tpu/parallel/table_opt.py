@@ -91,6 +91,13 @@ class TableOptConfig:
     # (the step reports them in its overflow counter — grow the cap if it
     # is ever nonzero). Rounded up to the Pallas grid multiple internally.
     exchange_cap: int = 0
+    # fused-mode row-update implementation (A/B via bench.py --rmw=...):
+    # "kernel" = the one-pass Pallas RMW (read+write DMA pair per row);
+    # "split"  = take-read (XLA fixed-function gather, 57M rows/s) +
+    #            vectorized adagrad math + write-only Pallas scatter —
+    #            half the per-row DMA-issue work on the scalar core
+    #            (measured A/B in BENCH_NOTES r5)
+    rmw_impl: str = "kernel"
     # force Pallas interpret mode in the packed update kernels (CI exercise
     # of the kernel path on non-TPU backends, e.g. under shard_map on the
     # virtual mesh; never set on real TPU runs)

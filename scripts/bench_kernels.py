@@ -383,8 +383,44 @@ def bench_stages(reps: int = 4):
                         v + 1 + jnp.arange(cap, dtype=jnp.int32))
         return pack_grads(rows) + tgt[:, None].astype(jnp.float32)
 
+    def compact_A_ranksort_only(g, i):
+        order = jnp.argsort(i)
+        s_ids = jnp.take(i, order)
+        c = _cumsum_rows(jnp.take(g, order, axis=0))
+        is_end = jnp.concatenate([s_ids[1:] != s_ids[:-1],
+                                  jnp.ones((1,), bool)])
+        real_end = is_end & (s_ids < v)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        sel = jnp.argsort(jnp.where(real_end, pos, n + pos))[:cap]
+        return sel[:, None].astype(jnp.float32) * c[:1, :1]
+
+    def compact_B_no_pack(g, i):
+        order = jnp.argsort(i)
+        s_ids = jnp.take(i, order)
+        c = _cumsum_rows(jnp.take(g, order, axis=0))
+        is_end = jnp.concatenate([s_ids[1:] != s_ids[:-1],
+                                  jnp.ones((1,), bool)])
+        real_end = is_end & (s_ids < v)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        sel = jnp.argsort(jnp.where(real_end, pos, n + pos))[:cap]
+        sel_real = jnp.take(real_end, sel)
+        c_sel = jnp.take(c, sel, axis=0)
+        prev = jnp.concatenate([jnp.zeros((1, d), c.dtype), c_sel[:-1]])
+        rows = jnp.where(sel_real[:, None], c_sel - prev, 0.0)
+        tgt = jnp.where(sel_real, jnp.take(s_ids, sel), v + 1 + pos[:cap])
+        return rows[:1] + tgt[:1, None].astype(jnp.float32)
+
     print(f"fused+compact stage table  V={v} n={n} (bs={bs} T={t}) D={d} "
           f"cap={cap}  ({reps} varied id sets, one dispatch)")
+    if "--parts" in sys.argv:
+        _timed_scan(compact_A_ranksort_only, (ids,),
+                    "compact A: +ranksort only", 5 * nbytes, reps,
+                    consts=(g,))
+        _timed_scan(compact_B_no_pack, (ids,), "compact B: +gathers+diff",
+                    5 * nbytes, reps, consts=(g,))
+        _timed_scan(compact_ranksort, (ids,), "compact C: +pack (CURRENT)",
+                    5 * nbytes, reps, consts=(g,))
+        return
     _timed_scan(fwd_gather, (ids,), "fwd take [n,128] + slice",
                 n * 128 * 4.0, reps, consts=(table,))
     _timed_scan(sort_only, (ids,), "argsort ids", n * 4.0, reps, consts=(g,))

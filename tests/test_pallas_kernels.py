@@ -416,3 +416,68 @@ def test_grouped_line_optimizer_interpret_matches_fallback(rng, kind):
     w1, a1 = unpack_table_grouped(tp, vocab, d)
     np.testing.assert_array_equal(np.asarray(w1), w0)
     np.testing.assert_array_equal(np.asarray(a1), acc0)
+
+
+def test_split_rmw_matches_kernel_interpret():
+    """r5 split mode (take-read + vectorized math + write-only Pallas
+    scatter) must equal the one-pass RMW kernel bit-for-bit in interpret
+    mode, junk ids included (measured 2.04x at cap=380,928 on the chip,
+    BENCH_NOTES r5)."""
+    import numpy as np
+    from goctr_tpu.ops.pallas.row_optimizer import (
+        apply_row_updates, apply_row_updates_split, pack_grads, pack_table)
+
+    rng = np.random.default_rng(0)
+    V, n, d = 500, 128, 8
+    w = rng.standard_normal((V, d)).astype(np.float32) * 0.1
+    acc = rng.random(V).astype(np.float32)
+    tp = pack_table(jnp.asarray(w), jnp.asarray(acc))
+    ids = rng.permutation(V)[:n].astype(np.int32)
+    ids[10:20] = V + 1 + np.arange(10)     # junk (>= skip_ge), distinct
+    g = rng.standard_normal((n, d)).astype(np.float32)
+    g[10:20] = 0
+    gp = pack_grads(jnp.asarray(g))
+    ids_j = jnp.asarray(ids)
+    for kind in ("adagrad", "sgd"):
+        a = apply_row_updates(tp + 0, ids_j, gp, lr=0.1, d=d, kind=kind,
+                              skip_ge=V, interpret=True)
+        b = apply_row_updates_split(tp + 0, ids_j, gp, lr=0.1, d=d,
+                                    kind=kind, skip_ge=V, interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        c = apply_row_updates_split(tp + 0, ids_j, gp, lr=0.1, d=d,
+                                    kind=kind, skip_ge=V, interpret=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-6)
+
+
+def test_scanned_trainer_split_mode_parity():
+    """End-to-end: rmw_impl='split' must reproduce the kernel-mode
+    training trajectory."""
+    import numpy as np
+    from goctr_tpu.models.trainer import TrainerConfig
+    from goctr_tpu.parallel.scanned import (TableOptConfig,
+                                            train_sparse_scanned)
+    from goctr_tpu.parallel.sparse_ctr import SparseCTR
+    from goctr_tpu.parallel.sparse_trainer import SparseSample
+
+    rng = np.random.default_rng(0)
+    n, vocab = 2000, 300
+    sample = SparseSample(
+        user_profile=rng.random((n, 4)).astype(np.float32),
+        behavior_ids=rng.integers(-1, vocab, (n, 5)).astype(np.int32),
+        item_ids=rng.integers(0, vocab, n).astype(np.int32),
+        ctx=rng.random((n, 2)).astype(np.float32),
+        labels=(rng.random(n) > 0.5).astype(np.float32))
+    model = SparseCTR(item_vocab=vocab, emb_dim=64, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(16,))
+    cfg = TrainerConfig(batch_size=512, epochs=3, early_stop=0, seed=0,
+                        shuffle=False)
+    out = {}
+    for impl in ("kernel", "split"):
+        out[impl] = train_sparse_scanned(
+            model, sample, cfg,
+            TableOptConfig(kind="adagrad", lr=0.3, update_mode="fused",
+                           compact_cap=1024, rmw_impl=impl))
+    np.testing.assert_allclose(out["split"].loss_curve,
+                               out["kernel"].loss_curve, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["split"].table),
+                               np.asarray(out["kernel"].table), atol=1e-6)
