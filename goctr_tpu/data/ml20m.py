@@ -81,6 +81,13 @@ class SignalKnobs:
     chain_w: int = 5           # how many previous watches the bonus sees
     latent_dim: int = 8
     latent_genre_w: float = 0.8  # genre anchor weight in the latent mix
+    # sharpening threshold for the max-sim bonus: m_item =
+    # clip((maxsim - thr) / (1 - thr), 0, 1). 0 = r4 behavior. A higher
+    # thr makes the bonus bimodal (chained watches score ~1, random pairs
+    # ~0), widening the attention-oracle vs pooled-oracle AUC gap — the
+    # property the reference's real data evidently has (DIN +0.019 over
+    # MLP, README.md:17,33) and the r4 fixture lacked (VERDICT r4 #1).
+    item_thr: float = 0.0
     act_mu: float = 4.35       # user activity lognormal (ML-20M mean ≈ 144)
     act_sigma: float = 0.95
 
@@ -288,13 +295,19 @@ def generate_ml20m_fixture(path: str | Path, scale: float = 1.0,
     # watches of the same user (the attention-shaped signal)
     vm = v_lat[movie]
     maxsim = np.full(n, -1.0)
+    simsum = np.zeros(n)
+    simcnt = np.zeros(n)
     for i in range(1, k.chain_w + 1):
         sim_i = np.full(n, -1.0)
         same_user = user_of[i:] == user_of[:-i]   # blocks are contiguous
         sim_i[i:] = np.where(same_user,
                              np.einsum("ij,ij->i", vm[i:], vm[:-i]), -1.0)
         np.maximum(maxsim, sim_i, out=maxsim)
-    m_item = np.clip(maxsim, 0.0, 1.0)
+        valid = sim_i > -1.0
+        simsum += np.where(valid, sim_i, 0.0)
+        simcnt += valid
+    meansim = simsum / np.maximum(simcnt, 1.0)    # pooled-oracle's view
+    m_item = np.clip((maxsim - k.item_thr) / (1.0 - k.item_thr), 0.0, 1.0)
     rstar = (k.mu0 + b_u[user_of] + quality[movie]
              + k.alpha * (m_static - m_static.mean())
              + k.beta * (m_recent - m_recent.mean())
@@ -305,7 +318,7 @@ def generate_ml20m_fixture(path: str | Path, scale: float = 1.0,
         np.savez(debug_signals, user=user_of + 1, movie=movie + 1, ts=ts,
                  rating=rating, m_item=m_item, m_static=m_static,
                  m_recent=m_recent, quality=quality[movie],
-                 b_u=b_u[user_of])
+                 b_u=b_u[user_of], maxsim=maxsim, meansim=meansim)
     say(f"ratings: {n}, mean {rating.mean():.3f}, "
         f"P(>3.5) {(rating > 3.5).mean():.3f}")
 
