@@ -273,11 +273,13 @@ def make_sharded_sparse_train_step(model: SparseCTR,
             return local_table, local_acc, over
         if packed:
             from goctr_tpu.ops.pallas.row_optimizer import (
-                apply_row_updates, pack_grads)
+                apply_row_updates, apply_row_updates_split, pack_grads)
             # junk ids: pairwise distinct, >= skip_ge → their DMA pair is
             # skipped (TPU) / dropped (fallback); table needs no junk rows
             lid = jnp.where(mine, rel, per_shard + 1 + pos2).astype(jnp.int32)
-            local_table = apply_row_updates(
+            impl = (apply_row_updates_split
+                    if topt.rmw_impl == "split" else apply_row_updates)
+            local_table = impl(
                 local_table, lid, pack_grads(rows), lr=topt.lr, d=D,
                 kind=topt.kind, eps=topt.eps, skip_ge=per_shard,
                 interpret=topt.pallas_interpret)
