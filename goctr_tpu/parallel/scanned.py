@@ -265,10 +265,13 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
     if topt.update_mode == "fused" and topt.compact_cap:
         # compacted front-end: instead of the position-aligned [n] stream
         # (~83% junk slots at headline zipf traffic, each still costing the
-        # kernel a scalar-loop step + the pack a 128-lane row), one rank
-        # sort gathers the <=cap run-end positions and recovers each run's
-        # sum as the diff of consecutive selected cumsum rows (fused2
-        # math). The RMW kernel and grad pack then see cap slots, not n.
+        # kernel a scalar-loop step + the pack a 128-lane row), compact to
+        # <=cap (id, run-sum) rows before the optimizer. Two impls:
+        #   compact_impl="kernel" (default where eligible): ONE Pallas pass
+        #     fuses cumsum + run-end selection (exact 0/1 MXU matmuls) +
+        #     diff + pack (ops/pallas/compact.py) — replaces ~52 ms of XLA
+        #     stages at the headline batch (BENCH_NOTES r5);
+        #   compact_impl="xla": the r4 rank-sort path (any vocab size).
         ids_clean = jnp.where(ids_flat >= 0, ids_flat, V)
         if n_to > n0:
             ids_clean = jnp.concatenate(
@@ -279,24 +282,35 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
         D_ = g_flat.shape[1]
         order = jnp.argsort(ids_clean)
         s_ids = jnp.take(ids_clean, order)
-        c = _cumsum_rows(jnp.take(g_flat, order, axis=0))
-        is_end = jnp.concatenate([s_ids[1:] != s_ids[:-1],
-                                  jnp.ones((1,), bool)])
-        real_end = is_end & (s_ids < V)
-        pos = jnp.arange(n_to, dtype=jnp.int32)
+        g_s = jnp.take(g_flat, order, axis=0)
         capr = min(-(-topt.compact_cap // ROWS_PER_STEP) * ROWS_PER_STEP,
                    n_to)
-        sel = jnp.argsort(jnp.where(real_end, pos, n_to + pos))[:capr]
-        sel_real = jnp.take(real_end, sel)
-        c_sel = jnp.take(c, sel, axis=0)
-        prev = jnp.concatenate(
-            [jnp.zeros((1, D_), c.dtype), c_sel[:-1]])
-        rows = jnp.where(sel_real[:, None], c_sel - prev, 0.0)
-        tgt = jnp.where(sel_real, jnp.take(s_ids, sel),
-                        V + 1 + pos[:capr]).astype(jnp.int32)
-        overflow = jnp.maximum(
-            jnp.sum(real_end.astype(jnp.int32)) - capr, 0)
+        use_kernel = (topt.compact_impl == "kernel" and V < (1 << 24)
+                      and D_ < 128)
+        if use_kernel:
+            from goctr_tpu.ops.pallas.compact import compact_runsums_block
+            tgt, rows_packed, overflow = compact_runsums_block(
+                s_ids, g_s, V, capr, interpret=topt.pallas_interpret)
+            rows = rows_packed[:, :D_]
+        else:
+            c = _cumsum_rows(g_s)
+            is_end = jnp.concatenate([s_ids[1:] != s_ids[:-1],
+                                      jnp.ones((1,), bool)])
+            real_end = is_end & (s_ids < V)
+            pos = jnp.arange(n_to, dtype=jnp.int32)
+            sel = jnp.argsort(jnp.where(real_end, pos, n_to + pos))[:capr]
+            sel_real = jnp.take(real_end, sel)
+            c_sel = jnp.take(c, sel, axis=0)
+            prev = jnp.concatenate(
+                [jnp.zeros((1, D_), c.dtype), c_sel[:-1]])
+            rows = jnp.where(sel_real[:, None], c_sel - prev, 0.0)
+            rows_packed = None
+            tgt = jnp.where(sel_real, jnp.take(s_ids, sel),
+                            V + 1 + pos[:capr]).astype(jnp.int32)
+            overflow = jnp.maximum(
+                jnp.sum(real_end.astype(jnp.int32)) - capr, 0)
     else:
+        rows_packed = None
         tgt, rows = segment_rows_dedup(ids_flat, g_flat, V, pad_to=n_to)
 
     if topt.update_mode == "fused":
@@ -312,7 +326,8 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
                 apply_row_updates, apply_row_updates_split, pack_grads)
             impl = (apply_row_updates_split
                     if topt.rmw_impl == "split" else apply_row_updates)
-            table = impl(table, tgt, pack_grads(rows),
+            gp = rows_packed if rows_packed is not None else pack_grads(rows)
+            table = impl(table, tgt, gp,
                          lr=topt.lr, d=D, kind=topt.kind, eps=topt.eps,
                          skip_ge=V)
             return table, acc, overflow

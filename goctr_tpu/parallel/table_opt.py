@@ -91,6 +91,12 @@ class TableOptConfig:
     # (the step reports them in its overflow counter — grow the cap if it
     # is ever nonzero). Rounded up to the Pallas grid multiple internally.
     exchange_cap: int = 0
+    # compaction implementation for fused+compact (A/B via bench.py
+    # --compact_impl=...): "kernel" = the Pallas block-compaction pass
+    # (ops/pallas/compact.py — fuses cumsum + run-end selection + diff +
+    # pack; needs vocab < 2^24, auto-falls back to "xla" otherwise);
+    # "xla" = the r4 rank-sort path.
+    compact_impl: str = "kernel"
     # fused-mode row-update implementation (A/B via bench.py --rmw=...):
     # "kernel" = the one-pass Pallas RMW (read+write DMA pair per row);
     # "split"  = take-read (XLA fixed-function gather, 57M rows/s) +

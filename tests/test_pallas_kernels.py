@@ -481,3 +481,86 @@ def test_scanned_trainer_split_mode_parity():
                                out["kernel"].loss_curve, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out["split"].table),
                                np.asarray(out["kernel"].table), atol=1e-6)
+
+
+def _compact_reference(s_ids, g_s, V, capr, d):
+    """The r4 XLA rank-sort compact path (global cumsum diffs)."""
+    from goctr_tpu.ops.pallas.row_optimizer import pack_grads
+    from goctr_tpu.ops.segsum import _cumsum_rows
+    n = s_ids.shape[0]
+    c = _cumsum_rows(g_s)
+    is_end = jnp.concatenate([s_ids[1:] != s_ids[:-1],
+                              jnp.ones((1,), bool)])
+    real_end = is_end & (s_ids < V)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    sel = jnp.argsort(jnp.where(real_end, pos, n + pos))[:capr]
+    sel_real = jnp.take(real_end, sel)
+    c_sel = jnp.take(c, sel, axis=0)
+    prev = jnp.concatenate([jnp.zeros((1, d), c.dtype), c_sel[:-1]])
+    rows = jnp.where(sel_real[:, None], c_sel - prev, 0.0)
+    tgt = jnp.where(sel_real, jnp.take(s_ids, sel), V + 1 + pos[:capr])
+    return tgt, pack_grads(rows), real_end
+
+
+def test_compact_block_kernel_matches_ranksort_path():
+    """The r5 block-compaction kernel (ops/pallas/compact.py) must
+    reproduce the XLA rank-sort compact front-end: same unique ids in the
+    same (ascending) order, same run sums (to block-local-vs-global f32
+    rounding), junk tail distinct and > vocab, overflow exact."""
+    import numpy as np
+    from goctr_tpu.ops.pallas.compact import compact_runsums_block
+
+    rng = np.random.default_rng(0)
+    V, n, d, capr = 3000, 4096, 16, 1024
+    ids = rng.integers(0, 300, n).astype(np.int32)
+    ids[rng.random(n) < 0.1] = -1
+    g = rng.standard_normal((n, d)).astype(np.float32)
+    ids_clean = jnp.where(jnp.asarray(ids) >= 0, jnp.asarray(ids), V)
+    gz = jnp.asarray(g) * (jnp.asarray(ids) >= 0)[:, None]
+    order = jnp.argsort(ids_clean)
+    s_ids = jnp.take(ids_clean, order)
+    g_s = jnp.take(gz, order, axis=0)
+    tgt_ref, packed_ref, real_end = _compact_reference(s_ids, g_s, V,
+                                                       capr, d)
+    for interp in (False, True):
+        tgt, rows_p, over = compact_runsums_block(s_ids, g_s, V, capr,
+                                                  interpret=interp)
+        m = np.asarray(tgt_ref) <= V
+        np.testing.assert_array_equal(np.asarray(tgt)[m],
+                                      np.asarray(tgt_ref)[m])
+        np.testing.assert_allclose(np.asarray(rows_p)[m],
+                                   np.asarray(packed_ref)[m],
+                                   rtol=1e-5, atol=1e-4)
+        assert int(over) == 0
+        assert (np.asarray(tgt)[~m] > V).all()
+
+    # overflow detection is exact
+    _, _, over2 = compact_runsums_block(s_ids, g_s, V, 256)
+    n_u = int(np.asarray(real_end).sum())
+    assert int(over2) == max(n_u - 256, 0)
+
+
+def test_compact_block_kernel_multiblock_runs():
+    """A hot id spanning many 512-row blocks must sum exactly once via the
+    open-run carry register (the multi-block-run edge case)."""
+    import numpy as np
+    from goctr_tpu.ops.pallas.compact import compact_runsums_block
+
+    V, d = 100, 8
+    n = 2048
+    # id 7 occupies positions 100..1800 (spans 4 blocks); others sparse
+    ids = np.full(n, V, np.int32)             # mostly pads
+    ids[:100] = 3
+    ids[100:1800] = 7
+    ids[1800:1900] = 9
+    s_ids = jnp.asarray(np.sort(ids))
+    rng = np.random.default_rng(1)
+    g = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    g = g * (s_ids < V)[:, None]
+    tgt, rows_p, over = compact_runsums_block(s_ids, g, V, 512)
+    t = np.asarray(tgt)
+    assert list(t[:3]) == [3, 7, 9]
+    want7 = np.asarray(jnp.sum(g[100:1800], axis=0))
+    np.testing.assert_allclose(np.asarray(rows_p)[1, :d], want7,
+                               rtol=1e-5, atol=1e-4)
+    assert int(over) == 0

@@ -316,3 +316,32 @@ def test_grouped_resident_in_memory_resume(monkeypatch):
         resume_from=r2)
     assert r3.packed_group == 1 and r3.table.shape[1] == 8
     assert r3.table.shape[0] >= vocab
+
+
+def test_scanned_trainer_compact_kernel_parity():
+    """compact_impl='kernel' (Pallas block-compaction) must reproduce the
+    XLA rank-sort trajectory end-to-end (tolerances: block-local vs
+    global f32 cumsum rounding only)."""
+    rng = np.random.default_rng(0)
+    n, vocab = 3000, 400
+    train = SparseSample(
+        user_profile=rng.random((n, 4)).astype(np.float32),
+        behavior_ids=rng.integers(-1, vocab, (n, 5)).astype(np.int32),
+        item_ids=rng.integers(0, vocab, n).astype(np.int32),
+        ctx=rng.random((n, 2)).astype(np.float32),
+        labels=(rng.random(n) > 0.5).astype(np.float32))
+    model = SparseCTR(item_vocab=vocab, emb_dim=64, u_profile_dim=4,
+                      ctx_dim=2, behavior_len=5, hidden=(16,))
+    cfg = TrainerConfig(batch_size=1024, epochs=3, early_stop=0, seed=0,
+                        shuffle=False)
+    out = {}
+    for impl in ("xla", "kernel"):
+        out[impl] = train_sparse_scanned(
+            model, train, cfg,
+            TableOptConfig(kind="adagrad", lr=0.3, update_mode="fused",
+                           compact_cap=2048, compact_impl=impl))
+    np.testing.assert_allclose(out["kernel"].loss_curve,
+                               out["xla"].loss_curve, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["kernel"].table),
+                               np.asarray(out["xla"].table),
+                               rtol=1e-4, atol=1e-5)
