@@ -38,6 +38,51 @@ def make_corpus(n_words: int = 9_500_000, vocab: int = 10_000,
     return [w for w in np.split(words, cuts) if len(w)]
 
 
+def make_cluster_corpus(n_words: int = 9_500_000, vocab: int = 10_000,
+                        n_clusters: int = 500, n_docs: int = 100_000,
+                        p_in: float = 0.85, seed: int = 0):
+    """ML-10M-shaped corpus with PLANTED co-occurrence clusters (the
+    at-scale analogue of wordemb_test.go's eyeballed neighbors / the CI
+    toy gate): items partition into clusters of vocab/n_clusters; each doc
+    owns a (zipf-popular) home cluster and draws p_in of its words from it,
+    the rest globally. Returns (docs, cluster_of [vocab])."""
+    rng = np.random.default_rng(seed)
+    per = vocab // n_clusters
+    cluster_of = np.arange(vocab) // per
+    cluster_of = np.minimum(cluster_of, n_clusters - 1)
+    p = 1.0 / np.arange(1, n_clusters + 1) ** 1.05
+    p /= p.sum()
+    doc_len = np.maximum(rng.poisson(n_words / n_docs, n_docs), 4)
+    docs = []
+    home = rng.choice(n_clusters, n_docs, p=p)
+    for d in range(n_docs):
+        L = doc_len[d]
+        inside = rng.random(L) < p_in
+        w = np.where(inside,
+                     home[d] * per + rng.integers(0, per, L),
+                     rng.integers(0, vocab, L))
+        docs.append(w.astype(np.int64))
+    return docs, cluster_of
+
+
+def neighbor_purity(w2v, cluster_of: np.ndarray, k: int = 5,
+                    n_query: int = 500, seed: int = 0) -> float:
+    """Fraction of top-k cosine neighbors sharing the query's planted
+    cluster (numpy oracle — no framework search code in the gate)."""
+    vecs = w2v.vectors()
+    d = w2v.dictionary
+    ids = np.asarray([int(d.word(i)) for i in range(len(d))])
+    vn = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True),
+                           1e-12)
+    rng = np.random.default_rng(seed)
+    q = rng.choice(len(ids), min(n_query, len(ids)), replace=False)
+    sims = vn[q] @ vn.T
+    sims[np.arange(len(q)), q] = -np.inf
+    top = np.argpartition(sims, -k, axis=1)[:, -k:]
+    same = cluster_of[ids[top]] == cluster_of[ids[q]][:, None]
+    return float(same.mean())
+
+
 def main() -> None:
     from goctr_tpu.core.runtime import enable_compilation_cache
     enable_compilation_cache()
@@ -51,8 +96,13 @@ def main() -> None:
     model = _arg("model", "skipgram")
     opt = _arg("optimizer", "hs")
 
+    quality = "--quality" in sys.argv
     t0 = time.perf_counter()
-    docs = [[str(w) for w in d] for d in make_corpus()]
+    if quality:
+        raw, cluster_of = make_cluster_corpus()
+    else:
+        raw = make_corpus()
+    docs = [[str(w) for w in d] for d in raw]
     n_words = sum(len(d) for d in docs)
     print(f"corpus: {n_words} words, {len(docs)} docs "
           f"({time.perf_counter() - t0:.1f}s)", flush=True)
@@ -74,6 +124,10 @@ def main() -> None:
           f"{pairs / total / 1e6:.2f}M pairs/s  "
           f"({n_words * iters / total / 1e3:.0f}k words/s) "
           f"batch={batch} iters={iters} {model}+{opt}")
+    if quality:
+        pur = neighbor_purity(w2v, cluster_of)
+        print(f"at-scale top-5 neighbor cluster purity: {pur:.3f} "
+              f"(planted 500 clusters / 10k vocab)")
 
 
 if __name__ == "__main__":

@@ -199,3 +199,28 @@ def test_word2vec_cli_roundtrip(tmp_path):
     assert rc == 0
     emb = load_embedding_map(out)
     assert len(emb) == 20 and emb.dim == 8
+
+
+def test_ml10m_shape_neighbor_quality_gate():
+    """VERDICT r4 next-#6: a quality gate at ML-10M STATISTICS (zipf
+    cluster popularity, poisson doc lengths, 85/15 in/out-of-cluster mix)
+    rather than the toy two-cluster corpus — scaled down in word count to
+    stay CI-sized, same generator the at-scale TPU bench uses
+    (scripts/bench_item2vec.py --quality). Top-5 cosine neighbors must
+    mostly share the planted cluster, judged by a NumPy oracle."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from bench_item2vec import make_cluster_corpus, neighbor_purity
+
+    from goctr_tpu.embedding.word2vec import Word2Vec
+
+    raw, cluster_of = make_cluster_corpus(
+        n_words=400_000, vocab=1000, n_clusters=50, n_docs=5000, seed=1)
+    docs = [[str(w) for w in d] for d in raw]
+    w2v = Word2Vec(dim=16, window=5, iters=2, min_count=1,
+                   model="skipgram", optimizer="hs", batch_size=16384,
+                   seed=1).train(docs)
+    pur = neighbor_purity(w2v, cluster_of, n_query=300)
+    assert pur >= 0.8, f"neighbor cluster purity {pur:.3f}"
