@@ -199,7 +199,7 @@ def main() -> None:
                        sorted_gather=sorted_gather,
                        gather_impl=_arg("gather", "take"),
                        rmw_impl=_arg("rmw", "split"),
-                       compact_impl=_arg("compact_impl", "kernel"),
+                       compact_impl=_arg("compact_impl", "xla"),
                        compact_cap=compact))
     if ranker.update_overflow_max:
         print(f"WARNING: compact_cap overflowed "

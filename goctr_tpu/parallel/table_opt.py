@@ -92,11 +92,14 @@ class TableOptConfig:
     # is ever nonzero). Rounded up to the Pallas grid multiple internally.
     exchange_cap: int = 0
     # compaction implementation for fused+compact (A/B via bench.py
-    # --compact_impl=...): "kernel" = the Pallas block-compaction pass
-    # (ops/pallas/compact.py — fuses cumsum + run-end selection + diff +
-    # pack; needs vocab < 2^24, auto-falls back to "xla" otherwise);
-    # "xla" = the r4 rank-sort path.
-    compact_impl: str = "kernel"
+    # --compact_impl=...): "xla" (default) = the rank-sort path; "kernel"
+    # = the Pallas block-compaction pass (ops/pallas/compact.py — fuses
+    # cumsum + run-end selection + diff + pack; needs vocab < 2^24).
+    # MEASURED at the headline (BENCH_NOTES r5): the kernel's exactness
+    # requirement forces HIGHEST-precision MXU selection matmuls whose
+    # cost exceeds the XLA stages it deletes (279k vs 412k ex/s) — "xla"
+    # stays the default; the kernel is kept as a correct A/B record.
+    compact_impl: str = "xla"
     # fused-mode row-update implementation (A/B via bench.py --rmw=...):
     # "kernel" = the one-pass Pallas RMW (read+write DMA pair per row);
     # "split"  = take-read (XLA fixed-function gather, 57M rows/s) +

@@ -410,11 +410,37 @@ def bench_stages(reps: int = 4):
         tgt = jnp.where(sel_real, jnp.take(s_ids, sel), v + 1 + pos[:cap])
         return rows[:1] + tgt[:1, None].astype(jnp.float32)
 
+    def ranksort_boolkey(g, i):
+        """rank-sort with a BOOL key (stable argsort keeps end order) —
+        candidate replacement for the int32 where(real_end,pos,n+pos) key."""
+        order = jnp.argsort(i)
+        s_ids = jnp.take(i, order)
+        c = _cumsum_rows(jnp.take(g, order, axis=0))
+        is_end = jnp.concatenate([s_ids[1:] != s_ids[:-1],
+                                  jnp.ones((1,), bool)])
+        real_end = is_end & (s_ids < v)
+        sel = jnp.argsort(jnp.logical_not(real_end), stable=True)[:cap]
+        return sel[:, None].astype(jnp.float32) * c[:1, :1]
+
+    def permute_cumsum_bf16(g, i):
+        """bf16 row permute (halves the random-gather traffic) + f32
+        cumsum — candidate numeric trade."""
+        order = jnp.argsort(i)
+        gs = jnp.take(g.astype(jnp.bfloat16), order, axis=0)
+        c = _cumsum_rows(gs.astype(jnp.float32))
+        return c[-1:]
+
     print(f"fused+compact stage table  V={v} n={n} (bs={bs} T={t}) D={d} "
           f"cap={cap}  ({reps} varied id sets, one dispatch)")
     if "--parts" in sys.argv:
         _timed_scan(compact_A_ranksort_only, (ids,),
                     "compact A: +ranksort only", 5 * nbytes, reps,
+                    consts=(g,))
+        _timed_scan(ranksort_boolkey, (ids,),
+                    "compact A2: bool-key ranksort", 5 * nbytes, reps,
+                    consts=(g,))
+        _timed_scan(permute_cumsum_bf16, (ids,),
+                    "permute+cumsum (bf16 rows)", 2 * nbytes, reps,
                     consts=(g,))
         _timed_scan(compact_B_no_pack, (ids,), "compact B: +gathers+diff",
                     5 * nbytes, reps, consts=(g,))
