@@ -430,9 +430,43 @@ def bench_stages(reps: int = 4):
         c = _cumsum_rows(gs.astype(jnp.float32))
         return c[-1:]
 
+    def compact_blocked_sel(g, i):
+        """Full compact with the rank-sort replaced by BATCHED per-block
+        argsorts (stable, 1024-wide) + a block-offset stitch: log²(1024)
+        vs log²(n) compare work, fully parallel across blocks."""
+        BB = 1024
+        nb2 = n // BB
+        order = jnp.argsort(i)
+        s_ids = jnp.take(i, order)
+        c = _cumsum_rows(jnp.take(g, order, axis=0))
+        is_end = jnp.concatenate([s_ids[1:] != s_ids[:-1],
+                                  jnp.ones((1,), bool)])
+        real_end = is_end & (s_ids < v)
+        re2 = real_end.reshape(nb2, BB)
+        sel_loc = jnp.argsort(jnp.logical_not(re2), axis=1,
+                              stable=True)                  # [nb2, BB]
+        cnts = jnp.sum(re2.astype(jnp.int32), axis=1)
+        offs = jnp.cumsum(cnts)
+        total = offs[-1]
+        k = jnp.arange(cap, dtype=jnp.int32)
+        blk = jnp.minimum(jnp.searchsorted(offs, k, side="right"),
+                          nb2 - 1).astype(jnp.int32)
+        j = k - (jnp.take(offs, blk) - jnp.take(cnts, blk))
+        sel = blk * BB + jnp.take(
+            sel_loc.reshape(-1), blk * BB + jnp.clip(j, 0, BB - 1))
+        sel_real = jnp.take(real_end, sel) & (k < total)
+        c_sel = jnp.take(c, sel, axis=0)
+        prev = jnp.concatenate([jnp.zeros((1, d), c.dtype), c_sel[:-1]])
+        rows = jnp.where(sel_real[:, None], c_sel - prev, 0.0)
+        tgt = jnp.where(sel_real, jnp.take(s_ids, sel), v + 1 + k)
+        return pack_grads(rows) + tgt[:, None].astype(jnp.float32)
+
     print(f"fused+compact stage table  V={v} n={n} (bs={bs} T={t}) D={d} "
           f"cap={cap}  ({reps} varied id sets, one dispatch)")
     if "--parts" in sys.argv:
+        _timed_scan(compact_blocked_sel, (ids,),
+                    "compact D: blocked-argsort sel", 5 * nbytes, reps,
+                    consts=(g,))
         _timed_scan(compact_A_ranksort_only, (ids,),
                     "compact A: +ranksort only", 5 * nbytes, reps,
                     consts=(g,))
