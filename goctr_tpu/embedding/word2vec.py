@@ -73,6 +73,12 @@ class Word2VecOptions:
     # Obsolete since the r4 device-generation epoch (there is no per-iter
     # host work left to overlap); kept for option-surface compatibility.
     overlap: bool = True
+    # measurement-only ablation of the jitted epoch (scripts/bench_item2vec
+    # --stagebreak; never set in production): "noscatter" drops the table
+    # scatter-adds (keeps gathers + einsums live), "frontonly" drops the
+    # whole per-block update body (isolates the subsample/compaction
+    # front-end + scan skeleton)
+    ablate: str = ""
 
     def __post_init__(self):
         if self.min_lr is None:
@@ -393,10 +399,23 @@ class Word2Vec:
             dim = w_in.shape[1]
 
             def scatter_rows(tab, ids, rows):
+                if o.ablate == "noscatter":
+                    # measurement ablation: keep the update computation
+                    # live (fold into one lane of row 0) without the
+                    # scatter — isolates the scatter cost
+                    return tab.at[0, 0].add(jnp.sum(rows[:, :1]) * 1e-20)
                 mm = (ids >= 0).astype(jnp.float32)
                 return tab.at[jnp.maximum(ids, 0)].add(rows * mm[:, None])
 
             def body(carry, b):
+                if o.ablate == "frontonly":
+                    w_in, w_out = carry
+                    i0 = b * bp
+                    centers = jax.lax.dynamic_slice(fk, (i0,), (bp,))
+                    n_ex = jnp.sum((centers >= 0).astype(jnp.int32))
+                    w_in = w_in.at[0, 0].add(
+                        n_ex.astype(jnp.float32) * 1e-20)
+                    return (w_in, w_out), n_ex
                 w_in, w_out = carry
                 i0 = b * bp
                 centers = jax.lax.dynamic_slice(fk, (i0,), (bp,))

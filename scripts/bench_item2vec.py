@@ -115,6 +115,22 @@ def main() -> None:
     print(f"warm-up iter (incl. compile): {time.perf_counter() - t0:.1f}s",
           flush=True)
 
+    if "--stagebreak" in sys.argv:
+        # ablation stage table (BENCH_NOTES r5): where the device epoch
+        # goes — front-end (subsample/compaction/scan skeleton), + gathers
+        # and einsums (noscatter), + table scatters (full)
+        for ab, label in (("frontonly", "front-end + scan skeleton"),
+                          ("noscatter", "+ gathers + einsums"),
+                          ("", "+ table scatters (FULL)")):
+            w = Word2Vec(iters=1, ablate=ab, **kw)
+            w.train(docs)                    # compile this variant
+            t0 = time.perf_counter()
+            w2 = Word2Vec(iters=iters, ablate=ab, **kw)
+            w2.train(docs)
+            dt = time.perf_counter() - t0
+            print(f"  {label:32s} {dt / iters:7.2f}s/iter", flush=True)
+        return
+
     w2v = Word2Vec(iters=iters, **kw)
     t0 = time.perf_counter()
     w2v.train(docs)
