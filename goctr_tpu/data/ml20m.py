@@ -376,7 +376,21 @@ def generate_ml20m_fixture(path: str | Path, scale: float = 1.0,
     cur.execute("CREATE INDEX idx_rs_user ON ratings_test(userId)")
     conn.commit()
     conn.close()
-    say("done")
+    # column sidecar: the (ts, userId)-ordered train/test rating columns
+    # as npz — the SQL cursor read of 14.4M rows through Python tuples
+    # measured 117 s at full scale (BENCH_NOTES r5 assembly profile);
+    # consumers (MovielensRec.sample_generator_arrays, parity test slice)
+    # use the sidecar when present, SQL otherwise
+    tr_mask = is_train[user_of] == 1
+    cols = {}
+    for nm, m in (("train", tr_mask), ("test", ~tr_mask)):
+        o = np.lexsort((user_of[m], ts[m]))
+        cols[f"{nm}_uid"] = (user_of[m][o] + 1).astype(np.int64)
+        cols[f"{nm}_iid"] = (movie[m][o] + 1).astype(np.int64)
+        cols[f"{nm}_rating"] = rating[m][o].astype(np.float32)
+        cols[f"{nm}_ts"] = ts[m][o].astype(np.int64)
+    np.savez(str(path) + ".cols.npz", **cols)
+    say("column sidecar written")
     return {
         "n_users": n_users, "n_movies": n_movies, "n_ratings": int(n),
         "pos_rate": float((rating > 3.5).mean()),

@@ -164,6 +164,17 @@ class MovielensRec:
         — feeds the orchestrator's vectorized assembly without 14.4M Sample
         objects at the reference's ML-20M protocol scale
         (dinimpl_test.go:26 SampleCnt=14,400,000)."""
+        import os
+        sidecar = self.data_path + ".cols.npz"
+        if os.path.exists(sidecar):
+            # (ts, userId)-ordered column sidecar written by the ml20m
+            # generator — skips the 14.4M-row SQL-cursor read (117 s at
+            # full scale, BENCH_NOTES r5)
+            with np.load(sidecar) as z:
+                k = self.sample_cnt
+                return (z["train_uid"][:k], z["train_iid"][:k],
+                        (z["train_rating"][:k] > 3.5).astype(np.float32),
+                        z["train_ts"][:k])
         cur = self.db.execute(
             "SELECT userId, movieId, rating, timestamp FROM ratings_train "
             "ORDER BY timestamp, userId ASC LIMIT ?", (self.sample_cnt,))

@@ -29,7 +29,8 @@ def _build() -> Optional[Path]:
     for cc in ("cc", "gcc", "clang"):
         try:
             subprocess.run(
-                [cc, "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(so)],
+                [cc, "-O3", "-shared", "-fPIC", "-pthread", str(_SRC),
+                 "-o", str(so)],
                 check=True, capture_output=True, timeout=120)
             return so
         except (OSError, subprocess.SubprocessError) as e:

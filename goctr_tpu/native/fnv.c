@@ -87,11 +87,75 @@ void multihot_batch(const uint8_t *buf, const int64_t *offsets, int64_t n,
  * selected by idx into the strided destination at column offset `col`.
  * Drives batched sample assembly (rcmd.go:375-397's goroutine fan-out
  * becomes one C pass per feature block). */
+#include <pthread.h>
+#include <string.h>
+
+typedef struct {
+    const float *src; const int64_t *idx;
+    int64_t n0, n1, w, L, d;
+    float *dst; int64_t dst_stride, col;
+} gr_args;
+
+static void *gr_worker(void *p) {
+    gr_args *a = (gr_args *)p;
+    for (int64_t r = a->n0; r < a->n1; r++) {
+        const float *s = a->src + a->idx[r] * a->w;
+        float *d = a->dst + r * a->dst_stride + a->col;
+        memcpy(d, s, a->w * sizeof(float));
+    }
+    return 0;
+}
+
+/* emb-sequence gather: dst[r, col + l*d : ...] = emb[idx[r*L + l]] —
+ * writes the whole behavior-embedding block of a sample row directly into
+ * the strided output (no [n, L*d] intermediate; the r5 assembly profile
+ * measured the intermediate + recopy as the full-scale wall). Negative
+ * idx writes zeros. */
+static void *ge_worker(void *p) {
+    gr_args *a = (gr_args *)p;
+    for (int64_t r = a->n0; r < a->n1; r++) {
+        float *d = a->dst + r * a->dst_stride + a->col;
+        const int64_t *ix = a->idx + r * a->L;
+        for (int64_t l = 0; l < a->L; l++) {
+            if (ix[l] >= 0)
+                memcpy(d + l * a->d, a->src + ix[l] * a->d,
+                       a->d * sizeof(float));
+            else
+                memset(d + l * a->d, 0, a->d * sizeof(float));
+        }
+    }
+    return 0;
+}
+
+#define GR_THREADS 2
+
+static void run_split(void *(*fn)(void *), gr_args *base, int64_t n) {
+    if (n < (1 << 19)) {                  /* small: serial */
+        base->n0 = 0; base->n1 = n;
+        fn(base);
+        return;
+    }
+    pthread_t tid[GR_THREADS];
+    gr_args args[GR_THREADS];
+    int64_t per = n / GR_THREADS;
+    for (int t = 0; t < GR_THREADS; t++) {
+        args[t] = *base;
+        args[t].n0 = t * per;
+        args[t].n1 = (t == GR_THREADS - 1) ? n : (t + 1) * per;
+        pthread_create(&tid[t], 0, fn, &args[t]);
+    }
+    for (int t = 0; t < GR_THREADS; t++) pthread_join(tid[t], 0);
+}
+
 void gather_rows(const float *src, const int64_t *idx, int64_t n,
                  int64_t w, float *dst, int64_t dst_stride, int64_t col) {
-    for (int64_t r = 0; r < n; r++) {
-        const float *s = src + idx[r] * w;
-        float *d = dst + r * dst_stride + col;
-        for (int64_t j = 0; j < w; j++) d[j] = s[j];
-    }
+    gr_args a = {src, idx, 0, n, w, 0, 0, dst, dst_stride, col};
+    run_split(gr_worker, &a, n);
+}
+
+void gather_emb_rows(const float *emb, const int64_t *idx, int64_t n,
+                     int64_t L, int64_t d, float *dst, int64_t dst_stride,
+                     int64_t col) {
+    gr_args a = {emb, idx, 0, n, 0, L, d, dst, dst_stride, col};
+    run_split(ge_worker, &a, n);
 }

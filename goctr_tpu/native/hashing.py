@@ -78,6 +78,43 @@ def multihot_batch(values: Sequence[str], sep: str, size: int) -> np.ndarray:
     return out
 
 
+def gather_rows_into(out: np.ndarray, col: int, src: np.ndarray,
+                     idx: np.ndarray) -> None:
+    """out[:, col:col+w] = src[idx] without materializing src[idx] (the
+    C pass writes straight into the strided destination, 2 threads)."""
+    src = np.ascontiguousarray(src, dtype=np.float32)
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    n, w = idx.shape[0], src.shape[1]
+    lib = get_lib()
+    if lib is None:
+        out[:, col:col + w] = src[idx]
+        return
+    lib.gather_rows(_ptr(src, ctypes.c_float), _ptr(idx, ctypes.c_int64),
+                    n, w, _ptr(out, ctypes.c_float), out.shape[1], col)
+
+
+def gather_emb_rows_into(out: np.ndarray, col: int, emb: np.ndarray,
+                         idx2d: np.ndarray) -> None:
+    """out[r, col+l*d : col+(l+1)*d] = emb[idx2d[r, l]] (negative idx →
+    zeros) — the behavior-embedding block written directly into the sample
+    matrix; the [n, L·d] intermediate + recopy was the full-scale assembly
+    wall (BENCH_NOTES r5 profile)."""
+    emb = np.ascontiguousarray(emb, dtype=np.float32)
+    idx2d = np.ascontiguousarray(idx2d, dtype=np.int64)
+    n, L = idx2d.shape
+    d = emb.shape[1]
+    lib = get_lib()
+    if lib is None:
+        safe = idx2d.clip(0)
+        block = emb[safe]
+        block[idx2d < 0] = 0.0
+        out[:, col:col + L * d] = block.reshape(n, L * d)
+        return
+    lib.gather_emb_rows(_ptr(emb, ctypes.c_float),
+                        _ptr(idx2d, ctypes.c_int64), n, L, d,
+                        _ptr(out, ctypes.c_float), out.shape[1], col)
+
+
 def gather_rows_concat(blocks: Sequence[tuple[np.ndarray, np.ndarray]]
                        ) -> np.ndarray:
     """X[r] = concat(block_src[idx[r]] for each (src, idx) block): the

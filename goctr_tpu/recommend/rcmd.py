@@ -331,7 +331,8 @@ def _assemble_rows(ctx, state, rec_sys, uid, iid, ts, users, items
     int64 arrays; behavior sequences resolve through the provider's
     `get_user_behaviors_bulk` (one vectorized call) when available, else
     the per-row `get_user_behavior` loop."""
-    from goctr_tpu.native.hashing import gather_rows_concat
+    from goctr_tpu.native.hashing import (
+        gather_emb_rows_into, gather_rows_into)
 
     n = uid.shape[0]
     u_mat, u_rows = _feature_matrix(users)
@@ -339,9 +340,20 @@ def _assemble_rows(ctx, state, rec_sys, uid, iid, ts, users, items
     u_idx = u_rows(uid)
     i_idx = i_rows(iid)
 
+    # assemble STRAIGHT into the output matrix: at ML-20M scale the
+    # [n, 160] behavior-embedding intermediate + its recopy measured as
+    # the assembly wall (208 s of 575 — BENCH_NOTES r5 profile)
+    u_w, i_w = u_mat.shape[1], i_mat.shape[1]
+    ub0 = u_w
+    ub1 = ub0 + ITEM_EMB_DIM * USER_BEHAVIOR_LEN
+    it1 = ub1 + ITEM_EMB_DIM
+    out = np.empty((n, it1 + i_w), np.float32)
+    gather_rows_into(out, 0, u_mat, u_idx)
+    gather_rows_into(out, it1, i_mat, i_idx)
+
     emb_map = state.item_embedding_map
-    ub_flat = np.zeros((n, ITEM_EMB_DIM * USER_BEHAVIOR_LEN), np.float32)
-    item_emb = np.zeros((n, ITEM_EMB_DIM), np.float32)
+    if not emb_map:
+        out[:, ub0:it1] = 0.0
     if emb_map:
         words, emb_mat = emb_map.as_arrays()
         emb_mat = np.concatenate(
@@ -374,14 +386,13 @@ def _assemble_rows(ctx, state, rec_sys, uid, iid, ts, users, items
         else:
             item_emb_idx = np.asarray(
                 [row_of.get(str(i), 0) for i in iid.tolist()], np.int64)
-        item_emb = emb_mat[item_emb_idx]
+        gather_rows_into(out, ub1, emb_mat, item_emb_idx)
 
         bulk = getattr(rec_sys, "get_user_behaviors_bulk", None)
         if bulk is not None and int_words is not None:
             beh_items = bulk(ctx, uid, ts, USER_BEHAVIOR_LEN)   # [n, L]
             beh_idx = np.where(beh_items >= 0,
                                emb_rows_of(beh_items.clip(0)), 0)
-            ub_flat = emb_mat[beh_idx].reshape(n, -1)
         elif hasattr(rec_sys, "get_user_behavior"):
             beh_idx = np.zeros((n, USER_BEHAVIOR_LEN), np.int64)
             seq_cache: dict[tuple, list] = {}
@@ -395,14 +406,11 @@ def _assemble_rows(ctx, state, rec_sys, uid, iid, ts, users, items
                     seq_cache[ck] = seq
                 for j, item_id in enumerate(seq[:USER_BEHAVIOR_LEN]):
                     beh_idx[r, j] = row_of.get(str(item_id), 0)
-            ub_flat = emb_mat[beh_idx].reshape(n, -1)
+        else:
+            beh_idx = np.zeros((n, USER_BEHAVIOR_LEN), np.int64)
+        gather_emb_rows_into(out, ub0, emb_mat, beh_idx)
 
-    return gather_rows_concat([
-        (u_mat, u_idx),
-        (ub_flat, np.arange(n, dtype=np.int64)),
-        (item_emb, np.arange(n, dtype=np.int64)),
-        (i_mat, i_idx),
-    ])
+    return out
 
 
 # ------------------------------------------------------------ entrypoints ---

@@ -152,21 +152,29 @@ def main() -> None:
 
     # ---- test slice (dinimpl_test.go:52-61) -----------------------------
     t0 = time.perf_counter()
-    cur = rec.db.execute(
-        "SELECT userId, movieId, rating, timestamp FROM ratings_test "
-        "ORDER BY timestamp, userId ASC LIMIT ?", (test_cnt,))
-    chunks = []
-    while True:
-        rows = cur.fetchmany(1_000_000)
-        if not rows:
-            break
-        chunks.append(np.asarray(rows, np.float64))
-    te = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
-    te_uid = te[:, 0].astype(np.int64)
-    te_iid = te[:, 1].astype(np.int64)
-    te_y = (te[:, 2] > 3.5).astype(np.float32)     # BinarizeLabel
-    te_ts = te[:, 3].astype(np.int64)
-    del chunks, te
+    sidecar = Path(str(db) + ".cols.npz")
+    if sidecar.exists():
+        with np.load(sidecar) as z:
+            te_uid = z["test_uid"][:test_cnt]
+            te_iid = z["test_iid"][:test_cnt]
+            te_y = (z["test_rating"][:test_cnt] > 3.5).astype(np.float32)
+            te_ts = z["test_ts"][:test_cnt]
+    else:
+        cur = rec.db.execute(
+            "SELECT userId, movieId, rating, timestamp FROM ratings_test "
+            "ORDER BY timestamp, userId ASC LIMIT ?", (test_cnt,))
+        chunks = []
+        while True:
+            rows = cur.fetchmany(1_000_000)
+            if not rows:
+                break
+            chunks.append(np.asarray(rows, np.float64))
+        te = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        te_uid = te[:, 0].astype(np.int64)
+        te_iid = te[:, 1].astype(np.int64)
+        te_y = (te[:, 2] > 3.5).astype(np.float32)     # BinarizeLabel
+        te_ts = te[:, 3].astype(np.int64)
+        del chunks, te
     pctx = ctx.with_stage(Stage.PREDICT)
     if hasattr(rec, "pre_rank"):
         rec.pre_rank(pctx)

@@ -53,11 +53,23 @@ def main():
 
     with clock("pre_train (SQL aggregates)"):
         rec.pre_train(ctx)
-    with clock("item2vec (1 iter)"):
-        from goctr_tpu.embedding.store import train_embedding
-        state.item_embedding_map = train_embedding(
-            rec.item_seq_generator(ctx), window=rcmd.ITEM_EMB_WINDOW,
-            dim=rcmd.ITEM_EMB_DIM, iters=1)
+    if "--fake-emb" in sys.argv:
+        # CPU-only profiling: random embeddings instead of the TPU
+        # item2vec stage (assembly cost is what's being measured)
+        with clock("fake emb map"):
+            from goctr_tpu.embedding.store import EmbeddingMap
+            mids = [r[0] for r in rec.db.execute(
+                "SELECT movieId FROM movies")]
+            rngf = np.random.default_rng(0)
+            state.item_embedding_map = EmbeddingMap(
+                {str(m): rngf.standard_normal(
+                    rcmd.ITEM_EMB_DIM).astype(np.float32) for m in mids})
+    else:
+        with clock("item2vec (1 iter)"):
+            from goctr_tpu.embedding.store import train_embedding
+            state.item_embedding_map = train_embedding(
+                rec.item_seq_generator(ctx), window=rcmd.ITEM_EMB_WINDOW,
+                dim=rcmd.ITEM_EMB_DIM, iters=1)
     with clock("sample_generator (SQL read)"):
         uid, iid, y, ts = rec.sample_generator_arrays(ctx)
         uid = np.asarray(uid, np.int64)
@@ -96,16 +108,18 @@ def main():
     with clock("behavior emb idx"):
         beh_idx = np.where(beh_items >= 0,
                            emb_rows_of(beh_items.clip(0)), 0)
-    with clock("behavior emb gather"):
-        ub_flat = emb_mat[beh_idx].reshape(n, -1)
-    with clock("gather_rows_concat (C ext)"):
-        from goctr_tpu.native.hashing import gather_rows_concat
-        x = gather_rows_concat([
-            (u_mat, u_idx),
-            (ub_flat, np.arange(n, dtype=np.int64)),
-            (item_emb, np.arange(n, dtype=np.int64)),
-            (i_mat, i_idx),
-        ])
+    with clock("direct assembly (r5 C paths)"):
+        from goctr_tpu.native.hashing import (
+            gather_emb_rows_into, gather_rows_into)
+        u_w, i_w = u_mat.shape[1], i_mat.shape[1]
+        ub0 = u_w
+        ub1 = ub0 + rcmd.ITEM_EMB_DIM * rcmd.USER_BEHAVIOR_LEN
+        it1 = ub1 + rcmd.ITEM_EMB_DIM
+        x = np.empty((n, it1 + i_w), np.float32)
+        gather_rows_into(x, 0, u_mat, u_idx)
+        gather_rows_into(x, it1, i_mat, i_idx)
+        gather_rows_into(x, ub1, emb_mat, emb_rows_of(iid))
+        gather_emb_rows_into(x, ub0, emb_mat, beh_idx)
     total = sum(stages.values())
     print(f"rows {n}  width {x.shape[1]}  total {total:.1f}s  "
           f"({n / max(total, 1e-9):,.0f} rows/s)")
