@@ -58,3 +58,37 @@ def test_native_is_faster_than_python_loop():
     _ = [fnv32(v) for v in vals]
     t_py = time.perf_counter() - t0
     assert t_native < t_py, (t_native, t_py)
+
+
+def test_gather_into_c_matches_numpy_fallback():
+    """r5 direct-assembly primitives: the threaded C paths must equal the
+    numpy fallbacks (incl. negative behavior ids → zeros)."""
+    import numpy as np
+
+    from goctr_tpu.native import hashing as H
+
+    rng = np.random.default_rng(0)
+    n, w, L, d = 3001, 7, 4, 5
+    src = rng.standard_normal((50, w)).astype(np.float32)
+    idx = rng.integers(0, 50, n).astype(np.int64)
+    emb = rng.standard_normal((40, d)).astype(np.float32)
+    idx2 = rng.integers(-1, 40, (n, L)).astype(np.int64)
+    width = w + L * d + 3
+    out_c = np.full((n, width), -9.0, np.float32)
+    out_py = np.full((n, width), -9.0, np.float32)
+    H.gather_rows_into(out_c, 0, src, idx)
+    H.gather_emb_rows_into(out_c, w, emb, idx2)
+    lib = H.get_lib()
+    try:
+        H.get_lib.__globals__  # no-op; force the numpy path via monkey
+        import goctr_tpu.native.hashing as HH
+        orig = HH.get_lib
+        HH.get_lib = lambda: None
+        H.gather_rows_into(out_py, 0, src, idx)
+        H.gather_emb_rows_into(out_py, w, emb, idx2)
+    finally:
+        HH.get_lib = orig
+    np.testing.assert_array_equal(out_c, out_py)
+    if lib is None:
+        import pytest
+        pytest.skip("native lib unavailable — fallback-only environment")
