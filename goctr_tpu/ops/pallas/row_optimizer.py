@@ -867,6 +867,40 @@ def apply_row_updates_split(table_packed, ids, g_packed, lr, d: int,
                                interpret=interpret)
 
 
+def apply_line_updates_split(table_lines, line_ids, line_updates, lr,
+                             d: int, kind: str = "adagrad",
+                             eps: float = 1e-8,
+                             skip_ge: int | None = None,
+                             interpret: bool = False) -> jax.Array:
+    """Split-mode grouped-line optimizer: identical per-group math to
+    apply_line_updates, executed as take-read + vectorized XLA math + the
+    write-only Pallas scatter (the same 2.04× DMA-issue win as
+    apply_row_updates_split — one DMA per line instead of a RMW pair)."""
+    L = table_lines.shape[0]
+    if skip_ge is None:
+        skip_ge = L
+    g = group_size(d)
+    stride = d + 1
+    lane = jnp.arange(LANES)
+    within = lane < g * stride
+    m_w = (within & (lane % stride < d)).astype(jnp.float32)
+    m_acc = (within & (lane % stride == d)).astype(jnp.float32)
+    read_ids = jnp.minimum(line_ids, L - 1)
+    cur = jnp.take(table_lines, read_ids, axis=0)          # [n, 128]
+    if kind == "adagrad":
+        spread = make_spread(d)
+        r_acc = cur + line_updates * m_acc
+        spread_acc = jnp.dot(r_acc * m_acc, spread,
+                             preferred_element_type=jnp.float32)
+        scale = jnp.asarray(lr, jnp.float32) * jax.lax.rsqrt(
+            spread_acc + eps)
+        new = r_acc - scale * (line_updates * m_w)
+    else:
+        new = cur - jnp.asarray(lr, jnp.float32) * (line_updates * m_w)
+    return scatter_rows_packed(table_lines, line_ids, new,
+                               skip_ge=skip_ge, interpret=interpret)
+
+
 def pack_grads(g: jax.Array) -> jax.Array:
     """[n, D] row gradients → [n, 128] (g | ‖g‖² | 0) update rows.
     Lane-slice updates for the same tiling reason as pack_table."""

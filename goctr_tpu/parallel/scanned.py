@@ -338,8 +338,11 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
         # RMW once per unique line (ops/pallas/row_optimizer.py grouped
         # kernel; per-group adagrad via the MXU spread matmul).
         from goctr_tpu.ops.pallas.row_optimizer import (
-            LANES, apply_line_updates, packed_lines)
+            LANES, apply_line_updates, apply_line_updates_split,
+            packed_lines)
         from goctr_tpu.ops.segsum import sorted_run_sums
+        line_impl = (apply_line_updates_split
+                     if topt.rmw_impl == "split" else apply_line_updates)
         L = packed_lines(V, D)
         n = tgt.shape[0]
         real = tgt < V
@@ -356,9 +359,9 @@ def _table_update(table: jax.Array, acc: jax.Array, ids_flat: jax.Array,
         ltgt, lrows = sorted_run_sums(
             jnp.take(lkey, order), jnp.take(upd, order, axis=0),
             junk_base=L + n + 1)
-        table = apply_line_updates(table, ltgt.astype(jnp.int32), lrows,
-                                   lr=topt.lr, d=D, kind=topt.kind,
-                                   eps=topt.eps, skip_ge=L)
+        table = line_impl(table, ltgt.astype(jnp.int32), lrows,
+                          lr=topt.lr, d=D, kind=topt.kind,
+                          eps=topt.eps, skip_ge=L)
         return table, acc, overflow
 
     in_bounds = jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS

@@ -251,7 +251,10 @@ def make_sharded_sparse_train_step(model: SparseCTR,
             # line (per-group adagrad via the MXU spread matmul) — the
             # sharded twin of the scanned trainer's grouped fused branch.
             from goctr_tpu.ops.pallas.row_optimizer import (
-                LANES, apply_line_updates)
+                LANES, apply_line_updates, apply_line_updates_split)
+            line_impl = (apply_line_updates_split
+                         if topt.rmw_impl == "split"
+                         else apply_line_updates)
             Lm = local_table.shape[0]             # lines on this shard
             nsq = jnp.sum(rows * rows, axis=1, keepdims=True)
             oh = (jax.nn.one_hot(rel % G, G, dtype=jnp.float32)
@@ -266,7 +269,7 @@ def make_sharded_sparse_train_step(model: SparseCTR,
             ltgt, lrows = sorted_run_sums(
                 jnp.take(lkey, lorder), jnp.take(upd, lorder, axis=0),
                 junk_base=Lm + n2 + 1)
-            local_table = apply_line_updates(
+            local_table = line_impl(
                 local_table, ltgt.astype(jnp.int32), lrows, lr=topt.lr,
                 d=D, kind=topt.kind, eps=topt.eps, skip_ge=Lm,
                 interpret=topt.pallas_interpret)

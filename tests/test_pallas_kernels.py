@@ -564,3 +564,37 @@ def test_compact_block_kernel_multiblock_runs():
     np.testing.assert_allclose(np.asarray(rows_p)[1, :d], want7,
                                rtol=1e-5, atol=1e-4)
     assert int(over) == 0
+
+
+def test_grouped_line_split_matches_rmw():
+    """r5: the split-mode grouped-line optimizer (take + vectorized
+    per-group adagrad + write-only scatter) must equal apply_line_updates
+    in both fallback and interpret modes, junk line ids included."""
+    import numpy as np
+    from goctr_tpu.ops.pallas.row_optimizer import (
+        apply_line_updates, apply_line_updates_split, group_size,
+        pack_table_grouped)
+
+    rng = np.random.default_rng(0)
+    V, d = 300, 8
+    w = rng.standard_normal((V, d)).astype(np.float32) * 0.1
+    acc = rng.random(V).astype(np.float32)
+    lines = pack_table_grouped(jnp.asarray(w), jnp.asarray(acc))
+    L = lines.shape[0]
+    n = 128
+    k = min(n, L)
+    lid = np.concatenate([rng.permutation(L)[:k],
+                          L + 1 + np.arange(n - k)]).astype(np.int32)
+    upd = rng.standard_normal((n, 128)).astype(np.float32)
+    upd[k:] = 0
+    for kind in ("adagrad", "sgd"):
+        for interp in (False, True):
+            a = apply_line_updates(lines + 0, jnp.asarray(lid),
+                                   jnp.asarray(upd), lr=0.1, d=d,
+                                   kind=kind, skip_ge=L, interpret=interp)
+            b = apply_line_updates_split(lines + 0, jnp.asarray(lid),
+                                         jnp.asarray(upd), lr=0.1, d=d,
+                                         kind=kind, skip_ge=L,
+                                         interpret=interp)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
