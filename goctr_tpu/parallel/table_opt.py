@@ -104,9 +104,11 @@ class TableOptConfig:
     # "kernel" = the one-pass Pallas RMW (read+write DMA pair per row);
     # "split"  = take-read (XLA fixed-function gather, 57M rows/s) +
     #            vectorized adagrad math + write-only Pallas scatter —
-    #            half the per-row DMA-issue work on the scalar core
-    #            (measured A/B in BENCH_NOTES r5)
-    rmw_impl: str = "kernel"
+    #            half the per-row DMA-issue work on the scalar core.
+    # "split" is the measured default (BENCH_NOTES r5: 2.04x kernel-only,
+    # +20% end-to-end headline, +30.5% at 100M x 16 grouped; identical
+    # math — parity-tested both modes).
+    rmw_impl: str = "split"
     # force Pallas interpret mode in the packed update kernels (CI exercise
     # of the kernel path on non-TPU backends, e.g. under shard_map on the
     # virtual mesh; never set on real TPU runs)
